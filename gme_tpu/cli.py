@@ -1,0 +1,131 @@
+"""Command-line entry points.
+
+Mirrors the reference CLIs with the same flags and defaults:
+- `python -m gme_tpu.cli results -v <video> [-f <frame_distance>]`
+  (reference results.py:114-138)
+- `python -m gme_tpu.cli bbme -p <video> -fi <idx> [-pn 0] [-bs 12] [-sw 8] [-sp 1]`
+  (reference bbme.py:653-714)
+- `python -m gme_tpu.cli stats [results_dir]`
+  (reference utils.some_data __main__ walker, utils.py:169-188)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_results(args) -> None:
+    from gme_tpu.config import PipelineConfig
+    from gme_tpu.pipeline.results import process_video
+
+    cfg = PipelineConfig(
+        frame_distance=int(args.fd) if args.fd else 1,
+        batch_size=args.batch_size,
+        resume=args.resume,
+        write_images=not args.no_images,
+    )
+    summary = process_video(
+        args.path, out_root=args.out, cfg=cfg, profile_dir=args.profile_dir
+    )
+    print(json.dumps(summary, indent=2))
+
+
+def _cmd_bbme(args) -> None:
+    import jax.numpy as jnp
+
+    from gme_tpu.io.draw import draw_motion_field
+    from gme_tpu.io.video import get_video_frames
+    from gme_tpu.io.writers import write_png
+    from gme_tpu.models.hierarchical_bbme import hierarchical_wrapper
+    from gme_tpu.ops.bbme import get_motion_field_jit
+
+    frames = get_video_frames(args.path)
+    previous = frames[args.fi - 3]  # reference's hard-coded distance 3 (bbme.py:620)
+    current = frames[args.fi]
+
+    motion_field = np.array(
+        get_motion_field_jit(
+            jnp.asarray(previous),
+            jnp.asarray(current),
+            block_size=args.block_size,
+            search_window=args.search_window,
+            searching_procedure=args.searching_procedure,
+            pnorm_distance=args.pnorm,
+        )
+    )
+    hier = np.array(
+        hierarchical_wrapper(
+            jnp.asarray(previous),
+            jnp.asarray(current),
+            block_size=args.block_size,
+            search_window=args.search_window,
+            searching_procedure=args.searching_procedure,
+        )
+    )
+    out_dir = os.path.join(args.out, "images")
+    os.makedirs(out_dir, exist_ok=True)
+    write_png(
+        os.path.join(out_dir, f"{args.searching_procedure}-res.png"),
+        draw_motion_field(current, motion_field),
+    )
+    write_png(
+        os.path.join(out_dir, f"{args.searching_procedure}h-res.png"),
+        draw_motion_field(previous, hier),
+    )
+    print(f"wrote needle diagrams to {out_dir}")
+
+
+def _cmd_stats(args) -> None:
+    from gme_tpu.pipeline.results import summarize_results
+
+    for row in summarize_results(args.results):
+        print(f"video {row['video']}")
+        for k in ("avg", "var", "std", "max", "min"):
+            if k in row:
+                print(f"  {k}: {row[k]:.3f}")
+        print("=" * 22)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="gme_tpu", description="TPU-native global motion estimation"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("results", help="run the full GME pipeline over a video")
+    p.add_argument("-v", "--video-path", dest="path", required=True)
+    p.add_argument("-f", "--frame-distance", dest="fd", default=None)
+    p.add_argument("-o", "--out", default="results")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-images", action="store_true")
+    p.add_argument("--profile-dir", default=None)
+    p.set_defaults(func=_cmd_results)
+
+    p = sub.add_parser("bbme", help="motion field between two frames")
+    p.add_argument("-p", "--video-path", dest="path", required=True)
+    p.add_argument("-fi", "--frame-index", dest="fi", type=int, required=True)
+    p.add_argument("-pn", "--p-norm", dest="pnorm", type=int, default=0)
+    p.add_argument("-bs", "--block-size", dest="block_size", type=int, default=12)
+    p.add_argument("-sw", "--search-window", dest="search_window", type=int, default=8)
+    p.add_argument(
+        "-sp", "--searching-procedure", dest="searching_procedure", type=int, default=1
+    )
+    p.add_argument("-o", "--out", default="resources")
+    p.set_defaults(func=_cmd_bbme)
+
+    p = sub.add_parser("stats", help="aggregate PSNR stats over results")
+    p.add_argument("results", nargs="?", default="results")
+    p.set_defaults(func=_cmd_stats)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Video decode -> grayscale uint8 frame arrays.
+
+Replaces the reference's `cv2.VideoCapture` grab/retrieve loop
+(reference utils.py:9-31).  Two paths:
+
+- codec formats (mp4/webm/...): OpenCV when importable (decode only — all
+  compute happens in JAX);
+- raw formats (.y4m / .yuv): a dependency-free parser here, with a C++
+  native fast path (gme_tpu/native) used automatically when built — the
+  host-side "data loader" component of the framework.
+
+Grayscale conversion matches cv2.cvtColor(BGR2GRAY): the ITU-R BT.601 weights
+0.114/0.587/0.299 with fixed-point rounding.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+try:  # decode-only dependency; every compute op is JAX
+    import cv2  # type: ignore
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+
+def bgr_to_gray(frame: np.ndarray) -> np.ndarray:
+    """BT.601 luma with OpenCV's fixed-point rounding (matches
+    cv2.cvtColor(..., COLOR_BGR2GRAY) bit-for-bit)."""
+    b = frame[..., 0].astype(np.uint32)
+    g = frame[..., 1].astype(np.uint32)
+    r = frame[..., 2].astype(np.uint32)
+    # OpenCV 15-bit fixed point: round(0.299/0.587/0.114 * 2^15).
+    y = 3735 * b + 19235 * g + 9798 * r
+    return ((y + (1 << 14)) >> 15).astype(np.uint8)
+
+
+def _parse_y4m(path: str) -> List[np.ndarray]:
+    """Minimal YUV4MPEG2 parser: returns the Y (luma) plane per frame."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.index(b"\n")
+    header = data[:header_end].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError(f"not a y4m file: {path}")
+    width = height = None
+    subsampling = "420"
+    for tok in header.split()[1:]:
+        if tok.startswith("W"):
+            width = int(tok[1:])
+        elif tok.startswith("H"):
+            height = int(tok[1:])
+        elif tok.startswith("C"):
+            subsampling = tok[1:]
+    if width is None or height is None:
+        raise ValueError(f"y4m header missing dimensions: {header}")
+    ysize = width * height
+    if subsampling.startswith("420"):
+        frame_size = ysize + 2 * ((width // 2) * (height // 2))
+    elif subsampling.startswith("422"):
+        frame_size = ysize + 2 * ((width // 2) * height)
+    elif subsampling.startswith("444"):
+        frame_size = 3 * ysize
+    elif subsampling.startswith("mono"):
+        frame_size = ysize
+    else:
+        raise ValueError(f"unsupported y4m subsampling: {subsampling}")
+
+    frames = []
+    pos = header_end + 1
+    n = len(data)
+    while pos < n:
+        fh_end = data.index(b"\n", pos)
+        if not data[pos:fh_end].startswith(b"FRAME"):
+            raise ValueError("corrupt y4m frame header")
+        pos = fh_end + 1
+        y = np.frombuffer(data, dtype=np.uint8, count=ysize, offset=pos)
+        frames.append(y.reshape(height, width).copy())
+        pos += frame_size
+    return frames
+
+
+def get_video_frames(path: str, native: Optional[bool] = None) -> List[np.ndarray]:
+    """Decode a video to a list of (H, W) uint8 grayscale frames.
+
+    Mirrors the behaviour of reference utils.py:9-31 (full video in host
+    RAM, grayscale).  Raw y4m files use the native C++ loader when built,
+    else the pure-Python parser; codec formats use OpenCV.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".y4m",):
+        if native is not False:
+            try:
+                from gme_tpu.native import loader as native_loader
+
+                if native_loader.available():
+                    return native_loader.decode_y4m(path)
+            except Exception:
+                if native is True:
+                    raise
+        return _parse_y4m(path)
+
+    if not _HAS_CV2:
+        raise RuntimeError(
+            f"decoding {ext} requires OpenCV (decode only); convert to .y4m "
+            "for the dependency-free path"
+        )
+    cap = cv2.VideoCapture(path)
+    frames: List[np.ndarray] = []
+    while True:
+        if not cap.grab():
+            break
+        ok, frame = cap.retrieve()
+        if not ok:
+            break
+        if frame.ndim == 3 and frame.shape[2] == 3:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        frames.append(frame)
+    cap.release()
+    return frames
+
+
+def frames_to_array(frames: List[np.ndarray]) -> np.ndarray:
+    """Stack decoded frames into one (N, H, W) uint8 array for device_put."""
+    return np.stack(frames, axis=0)
+
+
+def create_video_from_frames(frame_path, num_frames, video_name, fps=30):
+    """Re-encode result frames to a video (reference utils.py:119-136)."""
+    if not _HAS_CV2:
+        raise RuntimeError("create_video_from_frames requires OpenCV")
+    imgs = []
+    for i in range(3, num_frames):
+        name = f"{i - 3}-{i}.png"
+        img = cv2.imread(os.path.join(frame_path, name))
+        if img is not None:
+            imgs.append(img)
+    if not imgs:
+        raise FileNotFoundError(f"no frames found under {frame_path}")
+    h, w = imgs[0].shape[:2]
+    video = cv2.VideoWriter(video_name, 0, fps, (w, h))
+    for img in imgs:
+        video.write(img)
+    video.release()

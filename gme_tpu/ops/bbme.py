@@ -1,0 +1,660 @@
+"""Block-based motion estimation (BBME) as TPU-native XLA programs.
+
+Re-design of the reference's per-block Python loops (reference bbme.py) into
+batched, static-shape tensor programs:
+
+- exhaustive search: a vectorised (offsets × blocks) SAD/SSD cost volume with
+  out-of-frame candidate masking and first-minimum argmin tie-breaking
+  (parity with reference bbme.py:105-179).
+- three-step search: three static 9-candidate rounds over all blocks at once
+  (parity with reference bbme.py:182-341, including its compounding-origin
+  and stale-tmp quirks).
+- 2D-log search: lockstep `lax.while_loop` over all blocks with per-block
+  active masks (parity with reference bbme.py:344-433).
+- diamond search: lockstep LDSP `lax.while_loop` + one SDSP pass (parity with
+  reference bbme.py:436-534, including clamping to `dim - bs - 1` and the
+  swapped SDSP offsets).
+
+Two candidate-evaluation engines back the data-dependent searches:
+
+- impl="gather": anchor-vs-candidate DFD via dynamic block gathers.  Exact
+  for any wander distance, but XLA lowers the gathers element-wise on TPU
+  (~70 M elem/s measured) — use on CPU or for verification.
+- impl="volume" (TPU default): precompute the DFD for EVERY offset in
+  [-R, R]^2 as a shift+box-sum cost volume (pure VPU work, no gathers), then
+  the walks only do scalar lookups into the volume.  DFD values are exact
+  f32 integers either way, so results are bit-identical as long as a walk
+  stays within radius R; R is derived exactly for three-step (its total
+  displacement is statically bounded) and configurable for diamond/2D-log
+  (walks past R read +inf and stop — practically unreachable for real video
+  at the default R=32).
+
+Motion-field convention preserved from the reference: shape
+(H//bs, W//bs, 2) int32, channel 0 = column/x shift, channel 1 = row/y shift
+(reference bbme.py:176-177, 338-339, 430-431, 531-532).
+
+All DFD values (sum of abs/squared uint8 differences over blocks of <=16x16)
+are integers below 2**24, exactly representable in float32, so the TPU f32
+path is bit-exact with the reference's numpy float32 sums.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gme_tpu.config import BBMEConfig, DIAMOND, EXHAUSTIVE, MAE, MSE, THREESTEP, TWODLOG
+
+_INF = jnp.float32(jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# DFD primitives (reference bbme.py:41-94)
+# ---------------------------------------------------------------------------
+
+def block_dfd(diff: jnp.ndarray, pnorm: int) -> jnp.ndarray:
+    """Sum-of-abs (MAE, pnorm=0) or sum-of-squares (MSE, pnorm=1) over the
+    trailing two (block) dims.  Reference bbme.py:67-94."""
+    if pnorm == MAE:
+        return jnp.sum(jnp.abs(diff), axis=(-2, -1))
+    elif pnorm == MSE:
+        return jnp.sum(diff * diff, axis=(-2, -1))
+    raise ValueError(f"unknown pnorm index {pnorm}")
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+def _block_grid(height: int, width: int, bs: int) -> Tuple[int, int]:
+    """Number of block rows/cols — identical to the reference's loop count
+    (range(0, dim-(bs-1), bs) has exactly dim//bs elements)."""
+    return height // bs, width // bs
+
+
+def _anchor_blocks(frame: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """(nbh, nbw, bs, bs) f32 anchor blocks from the previous frame."""
+    H, W = frame.shape
+    nbh, nbw = _block_grid(H, W, bs)
+    x = frame[: nbh * bs, : nbw * bs].astype(jnp.float32)
+    return x.reshape(nbh, bs, nbw, bs).transpose(0, 2, 1, 3)
+
+
+def _gather_blocks(frame_f32: jnp.ndarray, pos: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """Gather bs x bs blocks at absolute top-left positions.
+
+    Args:
+        frame_f32: (H, W) float32 frame.
+        pos: (..., 2) int32 (row, col) top-left corners, already in-bounds.
+
+    Returns:
+        (..., bs, bs) float32 blocks.
+    """
+    ar = jnp.arange(bs, dtype=jnp.int32)
+    rows = pos[..., 0:1] + ar  # (..., bs)
+    cols = pos[..., 1:2] + ar  # (..., bs)
+    return frame_f32[rows[..., :, None], cols[..., None, :]]
+
+
+def _in_frame(pos: jnp.ndarray, bs: int, H: int, W: int) -> jnp.ndarray:
+    """Reference validity test: candidate block fully inside the frame
+    (bbme.py:157-162)."""
+    return (
+        (pos[..., 0] >= 0)
+        & (pos[..., 1] >= 0)
+        & (pos[..., 0] + bs - 1 <= H - 1)
+        & (pos[..., 1] + bs - 1 <= W - 1)
+    )
+
+
+def _block_origins(nbh: int, nbw: int, bs: int) -> jnp.ndarray:
+    """(nbh, nbw, 2) int32 top-left (row, col) of every block."""
+    bi = lax.broadcasted_iota(jnp.int32, (nbh, nbw), 0) * bs
+    bj = lax.broadcasted_iota(jnp.int32, (nbh, nbw), 1) * bs
+    return jnp.stack([bi, bj], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Candidate evaluators
+# ---------------------------------------------------------------------------
+# An evaluator maps absolute candidate positions (nbh, nbw, K, 2) plus a
+# validity mask (nbh, nbw, K) to DFD costs (nbh, nbw, K), +inf where invalid.
+
+Evaluator = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _make_gather_evaluator(
+    previous: jnp.ndarray, current: jnp.ndarray, bs: int, pnorm: int
+) -> Evaluator:
+    """Exact evaluator: gather candidate blocks and diff against anchors."""
+    H, W = previous.shape
+    anchors = _anchor_blocks(previous, bs)
+    curr_f = current.astype(jnp.float32)
+
+    def evaluate(pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        safe = jnp.stack(
+            [jnp.clip(pos[..., 0], 0, H - bs), jnp.clip(pos[..., 1], 0, W - bs)],
+            axis=-1,
+        )
+        blocks = _gather_blocks(curr_f, safe, bs)
+        diff = blocks - anchors[..., None, :, :]
+        cost = block_dfd(diff, pnorm)
+        return jnp.where(valid, cost, _INF)
+
+    return evaluate
+
+
+def compute_cost_volume(
+    previous: jnp.ndarray,
+    current: jnp.ndarray,
+    block_size: int,
+    radius: int,
+    pnorm: int,
+) -> jnp.ndarray:
+    """(nbh, nbw, D*D) DFD cost volume for all offsets in [-R, R]^2.
+
+    Built as D^2 frame shifts + per-block box sums — pure elementwise VPU
+    work, no gathers.  Entry layout: k = (dr + R) * D + (dc + R).  Entries
+    whose candidate block falls outside the frame are +inf (matching the
+    reference's skip-on-out-of-frame, bbme.py:157-162).
+    """
+    H, W = previous.shape
+    bs, R = block_size, radius
+    nbh, nbw = _block_grid(H, W, bs)
+    D = 2 * R + 1
+
+    prev_f = previous[: nbh * bs, : nbw * bs].astype(jnp.float32)
+    P = R + bs
+    curr_pad = jnp.pad(current.astype(jnp.float32), ((P, P), (P, P)))
+
+    offsets = jnp.arange(-R, R + 1, dtype=jnp.int32)
+    row0 = jnp.arange(nbh, dtype=jnp.int32) * bs
+    col0 = jnp.arange(nbw, dtype=jnp.int32) * bs
+    valid_r = (row0[None, :] + offsets[:, None] >= 0) & (
+        row0[None, :] + offsets[:, None] <= H - bs
+    )  # (D, nbh)
+    valid_c = (col0[None, :] + offsets[:, None] >= 0) & (
+        col0[None, :] + offsets[:, None] <= W - bs
+    )  # (D, nbw)
+
+    # Nested lax.scan keeps every intermediate a single (H, W) tile — XLA
+    # fuses the shifted-diff + block reduction with no (D, H, W) spill, and
+    # lowers the reduction pattern onto the MXU (measured ~100x faster than
+    # a vmap-over-offsets formulation, which spills giant intermediates).
+    def dr_step(_, dr):
+        def dc_step(__, dc):
+            win = lax.dynamic_slice(curr_pad, (P + dr, P + dc), (nbh * bs, nbw * bs))
+            diff = win - prev_f
+            per_px = jnp.abs(diff) if pnorm == MAE else diff * diff
+            return None, per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
+
+        _, row = lax.scan(dc_step, None, offsets)
+        return None, row
+
+    _, cost = lax.scan(dr_step, None, offsets)  # (D_dr, D_dc, nbh, nbw)
+    mask = valid_r[:, None, :, None] & valid_c[None, :, None, :]
+    cost = jnp.where(mask, cost, _INF)
+    return cost.reshape(D * D, nbh, nbw).transpose(1, 2, 0)  # (nbh, nbw, D*D)
+
+
+def _make_volume_evaluator(
+    previous: jnp.ndarray, current: jnp.ndarray, bs: int, pnorm: int, radius: int
+) -> Evaluator:
+    """Evaluator backed by a precomputed cost volume: walks do only scalar
+    lookups.  Positions farther than `radius` from the block origin read
+    +inf (see module docstring on radius choice)."""
+    H, W = previous.shape
+    nbh, nbw = _block_grid(H, W, bs)
+    D = 2 * radius + 1
+    volume = compute_cost_volume(previous, current, bs, radius, pnorm)
+    origins = _block_origins(nbh, nbw, bs)
+
+    def evaluate(pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        off = pos - origins[..., None, :]  # (nbh, nbw, K, 2)
+        inside = (jnp.abs(off[..., 0]) <= radius) & (jnp.abs(off[..., 1]) <= radius)
+        k = (jnp.clip(off[..., 0], -radius, radius) + radius) * D + (
+            jnp.clip(off[..., 1], -radius, radius) + radius
+        )
+        cost = jnp.take_along_axis(volume, k, axis=-1)
+        return jnp.where(valid & inside, cost, _INF)
+
+    return evaluate
+
+
+def _resolve_impl(search_impl: str) -> str:
+    if search_impl == "auto":
+        return "volume" if jax.default_backend() == "tpu" else "gather"
+    if search_impl not in ("gather", "volume"):
+        raise ValueError(f"unknown search_impl {search_impl!r}")
+    return search_impl
+
+
+def _make_evaluator(
+    previous, current, bs: int, pnorm: int, impl: str, radius: int
+) -> Evaluator:
+    if _resolve_impl(impl) == "volume":
+        H, W = previous.shape
+        # No point covering offsets larger than any in-frame displacement.
+        radius = min(radius, max(H, W))
+        return _make_volume_evaluator(previous, current, bs, pnorm, radius)
+    return _make_gather_evaluator(previous, current, bs, pnorm)
+
+
+def _take_best(pos: jnp.ndarray, cost: jnp.ndarray) -> jnp.ndarray:
+    """First-minimum candidate position per block (== the reference's
+    strict-< scan in candidate order)."""
+    k = jnp.argmin(cost, axis=-1)
+    return jnp.take_along_axis(pos, k[..., None, None], axis=2)[..., 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive search (reference bbme.py:105-179)
+# ---------------------------------------------------------------------------
+
+def exhaustive_search(
+    previous: jnp.ndarray,
+    current: jnp.ndarray,
+    pnorm_distance: int = MAE,
+    block_size: int = 4,
+    search_window: int = 2,
+) -> jnp.ndarray:
+    """Full-scan BBME as a masked cost volume + first-minimum argmin.
+
+    Candidate offsets span `range(-sw, sw + bs)` on both axes — the
+    reference's asymmetric window (bbme.py:146-149) is preserved.  The scan
+    order (window_col outer, window_row inner) fixes tie-breaking.
+    """
+    H, W = previous.shape
+    bs, sw = block_size, search_window
+    nbh, nbw = _block_grid(H, W, bs)
+    D = 2 * sw + bs  # offsets per axis
+
+    prev_f = previous[: nbh * bs, : nbw * bs].astype(jnp.float32)
+    P = sw + bs  # padding so every shifted window is a static-size slice
+    curr_pad = jnp.pad(current.astype(jnp.float32), ((P, P), (P, P)))
+
+    offsets = jnp.arange(-sw, sw + bs, dtype=jnp.int32)  # (D,)
+
+    row0 = jnp.arange(nbh, dtype=jnp.int32) * bs
+    col0 = jnp.arange(nbw, dtype=jnp.int32) * bs
+    valid_r = (row0[None, :] + offsets[:, None] >= 0) & (
+        row0[None, :] + offsets[:, None] + bs - 1 <= H - 1
+    )  # (D, nbh)
+    valid_c = (col0[None, :] + offsets[:, None] >= 0) & (
+        col0[None, :] + offsets[:, None] + bs - 1 <= W - 1
+    )  # (D, nbw)
+
+    def cost_for_col_offset(wc_idx):
+        wc = offsets[wc_idx]
+
+        def cost_for_row_offset(wr_idx):
+            wr = offsets[wr_idx]
+            win = lax.dynamic_slice(
+                curr_pad, (P + wr, P + wc), (nbh * bs, nbw * bs)
+            )
+            diff = win - prev_f
+            per_px = jnp.abs(diff) if pnorm_distance == MAE else diff * diff
+            return per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
+
+        return jax.vmap(cost_for_row_offset)(jnp.arange(D))  # (D, nbh, nbw)
+
+    # (D_wc, D_wr, nbh, nbw) — wc is the outer (slowest) loop in the reference.
+    cost = lax.map(cost_for_col_offset, jnp.arange(D))
+    mask = valid_r[None, :, :, None] & valid_c[:, None, None, :]
+    cost = jnp.where(mask, cost, _INF)
+
+    flat = cost.reshape(D * D, nbh, nbw)
+    k = jnp.argmin(flat, axis=0)  # first minimum == reference strict-< scan
+    dy = offsets[k // D]  # window_col
+    dx = offsets[k % D]  # window_row
+    return jnp.stack([dy, dx], axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Three-step search (reference bbme.py:182-341)
+# ---------------------------------------------------------------------------
+
+def _nine_offsets(step: int) -> jnp.ndarray:
+    """itertools.product([-s,0,s], [-s,0,s]) with (col, row) iteration — the
+    reference enumerates window_col outer, window_row inner (bbme.py:229-231).
+    Returns (9, 2) int32 rows of (row_offset, col_offset) in scan order."""
+    vals = [-step, 0, step]
+    out = []
+    for wc in vals:
+        for wr in vals:
+            out.append((wr, wc))
+    return jnp.array(out, dtype=jnp.int32)
+
+
+def threestep_search(
+    previous: jnp.ndarray,
+    current: jnp.ndarray,
+    pnorm_distance: int = MAE,
+    block_size: int = 4,
+    search_window: int = 12,
+    search_impl: str = "auto",
+    volume_radius: int = 32,
+) -> jnp.ndarray:
+    """Three shrinking 9-point rounds, fully static — no data-dependent
+    control flow.  Quirks preserved from the reference:
+
+    - step sizes (2sw+bs)//{3,5,10} (bbme.py:211-213);
+    - the step-3 origin compounds the accumulated offset twice
+      (bbme.py:300-301: origin3 = origin2 + dx where dx already includes
+      step-1's displacement);
+    - if every step-3 candidate is out of frame, the step-2 displacement is
+      added a second time (the reference's stale `tmp_dx/tmp_dy`,
+      bbme.py:292-294 + 335-336).
+
+    The volume radius is derived statically (2*s1 + s2 + s3 bounds every
+    evaluated position), so impl="volume" is exact for three-step.
+    """
+    H, W = previous.shape
+    bs, sw = block_size, search_window
+    nbh, nbw = _block_grid(H, W, bs)
+
+    s1 = (2 * sw + bs) // 3
+    s2 = (2 * sw + bs) // 5
+    s3 = (2 * sw + bs) // 10
+
+    del volume_radius  # exact bound below supersedes the configured radius
+    exact_radius = 2 * s1 + s2 + s3
+    evaluate = _make_evaluator(
+        previous, current, bs, pnorm_distance, search_impl, exact_radius
+    )
+    origins = _block_origins(nbh, nbw, bs)
+
+    def round_best(center: jnp.ndarray, offs: jnp.ndarray):
+        pos = center[..., None, :] + offs  # (nbh, nbw, 9, 2)
+        valid = _in_frame(pos, bs, H, W)
+        cost = evaluate(pos, valid)
+        k = jnp.argmin(cost, axis=-1)  # (nbh, nbw) first-min
+        best = offs[k]
+        any_valid = jnp.any(jnp.isfinite(cost), axis=-1)
+        return best, any_valid
+
+    # Step 1: center (0,0) always valid => displacement always found.
+    best1, _ = round_best(origins, _nine_offsets(s1))
+    d = best1  # (nbh, nbw, 2) — (dx=row, dy=col) accumulated displacement
+    origin2 = origins + d
+
+    # Step 2: center of round 2 is step-1's best position => always valid.
+    best2, _ = round_best(origin2, _nine_offsets(s2))
+    d = d + best2
+
+    # Step 3 origin compounds d again (reference quirk).
+    origin3 = origin2 + d
+    best3, any3 = round_best(origin3, _nine_offsets(s3))
+    # Stale-tmp quirk: when no step-3 candidate is valid, re-add step-2's best.
+    step3 = jnp.where(any3[..., None], best3, best2)
+    d = d + step3
+
+    # Channel 0 = dy (col), channel 1 = dx (row) — reference bbme.py:338-339.
+    return jnp.stack([d[..., 1], d[..., 0]], axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# 2D-log search (reference bbme.py:344-433)
+# ---------------------------------------------------------------------------
+
+def twodlog_search(
+    previous: jnp.ndarray,
+    current: jnp.ndarray,
+    pnorm_distance: int = MAE,
+    block_size: int = 4,
+    search_window: int = 12,
+    max_iters: int = 4096,
+    search_impl: str = "auto",
+    volume_radius: int = 32,
+) -> jnp.ndarray:
+    """Cross-pattern logarithmic search as a lockstep while-loop.
+
+    Per-block state (x, y, step) advances until step <= 1; finished blocks
+    are masked out.  Candidate lists are padded to 9 entries; ordering within
+    each mode matches the reference scan order so first-minimum tie-breaking
+    is identical (cross: center,+x,-x,+y,-y — bbme.py:389-393; step==2:
+    row-major 3x3 neighbourhood — bbme.py:396-398).
+    """
+    H, W = previous.shape
+    bs, sw = block_size, search_window
+    nbh, nbw = _block_grid(H, W, bs)
+
+    evaluate = _make_evaluator(
+        previous, current, bs, pnorm_distance, search_impl,
+        max(volume_radius, 2 * sw),
+    )
+    origins = _block_origins(nbh, nbw, bs)
+
+    x0 = origins[..., 0]
+    y0 = origins[..., 1]
+    step0 = jnp.full((nbh, nbw), sw, dtype=jnp.int32)
+    # dx, dy initialised to 0 per block (reference bbme.py:371); they are
+    # always overwritten on the first iteration (the center is in frame).
+    dx0 = jnp.zeros((nbh, nbw), jnp.int32)
+    dy0 = jnp.zeros((nbh, nbw), jnp.int32)
+
+    neigh_off = jnp.array(
+        [(r, c) for r in (-2, 0, 2) for c in (-2, 0, 2)], dtype=jnp.int32
+    )  # row-major product([x-2,x,x+2],[y-2,y,y+2])
+
+    def body(state):
+        x, y, dx, dy, step, it = state
+        s = step
+        zero = jnp.zeros_like(s)
+        cross = jnp.stack(
+            [
+                jnp.stack([zero, zero], -1),
+                jnp.stack([s, zero], -1),
+                jnp.stack([-s, zero], -1),
+                jnp.stack([zero, s], -1),
+                jnp.stack([zero, -s], -1),
+            ],
+            axis=-2,
+        )  # (nbh, nbw, 5, 2)
+        pad = jnp.full((nbh, nbw, 4, 2), jnp.iinfo(jnp.int32).min // 4, jnp.int32)
+        cross9 = jnp.concatenate([cross, pad], axis=-2)
+        neigh9 = jnp.broadcast_to(neigh_off, (nbh, nbw, 9, 2))
+        offs = jnp.where((step == 2)[..., None, None], neigh9, cross9)
+
+        center = jnp.stack([x, y], axis=-1)
+        pos = center[..., None, :] + offs  # absolute candidate positions
+        valid = _in_frame(pos, bs, H, W)
+        cost = evaluate(pos, valid)
+        best = _take_best(pos, cost)
+        ndx, ndy = best[..., 0], best[..., 1]
+
+        halve = ((ndx == x) & (ndy == y)) | (step == 2)
+        nstep = jnp.where(halve, step // 2, step)
+
+        active = step > 1
+        x = jnp.where(active, ndx, x)
+        y = jnp.where(active, ndy, y)
+        dx = jnp.where(active, ndx, dx)
+        dy = jnp.where(active, ndy, dy)
+        step = jnp.where(active, nstep, step)
+        return (x, y, dx, dy, step, it + 1)
+
+    def cond(state):
+        *_, step, it = state
+        return jnp.any(step > 1) & (it < max_iters)
+
+    x, y, dx, dy, step, _ = lax.while_loop(
+        cond, body, (x0, y0, dx0, dy0, step0, jnp.int32(0))
+    )
+    # Reference bbme.py:430-431: channel 1 = dx - block_row, 0 = dy - block_col.
+    return jnp.stack([dy - origins[..., 1], dx - origins[..., 0]], axis=-1).astype(
+        jnp.int32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diamond search (reference bbme.py:436-534) — the GME default
+# ---------------------------------------------------------------------------
+
+_LDSP = jnp.array(
+    [(0, 0), (2, 0), (1, 1), (0, 2), (-1, 1), (-2, 0), (-1, -1), (0, -2), (1, -1)],
+    dtype=jnp.int32,
+)
+# SDSP offsets as the reference *applies* them — swapped (offset[1], offset[0])
+# (bbme.py:518-521): [(0,0),(1,0),(0,1),(-1,0),(0,-1)] becomes this sequence.
+_SDSP = jnp.array([(0, 0), (0, 1), (1, 0), (0, -1), (-1, 0)], dtype=jnp.int32)
+
+
+def diamond_search(
+    previous: jnp.ndarray,
+    current: jnp.ndarray,
+    pnorm_distance: int = MAE,
+    block_size: int = 12,
+    search_window: int = -1,
+    max_iters: int = 4096,
+    search_impl: str = "auto",
+    volume_radius: int = 32,
+) -> jnp.ndarray:
+    """Large-diamond loop until the center wins, then one small-diamond pass.
+
+    Candidate positions are clamped to [0, dim - bs - 1] exactly as the
+    reference does (bbme.py:503-504, 522-523) — including the off-by-one that
+    keeps candidates one pixel short of the frame edge, which also shifts the
+    *center* candidate of blocks in the last row/column.  `search_window` is
+    accepted for API parity and ignored (the reference ignores it too).
+    """
+    del search_window
+    H, W = previous.shape
+    bs = block_size
+    nbh, nbw = _block_grid(H, W, bs)
+
+    evaluate = _make_evaluator(
+        previous, current, bs, pnorm_distance, search_impl, volume_radius
+    )
+    origins = _block_origins(nbh, nbw, bs)
+
+    rmax = H - bs - 1
+    cmax = W - bs - 1
+
+    def eval_at(offsets, match):
+        pos = match[..., None, :] + offsets  # (nbh, nbw, K, 2)
+        pos = jnp.stack(
+            [jnp.clip(pos[..., 0], 0, rmax), jnp.clip(pos[..., 1], 0, cmax)],
+            axis=-1,
+        )
+        valid = jnp.ones(pos.shape[:-1], dtype=bool)
+        cost = evaluate(pos, valid)
+        return _take_best(pos, cost)
+
+    def body(state):
+        match, done, it = state
+        best = eval_at(_LDSP, match)
+        ndone = done | jnp.all(best == match, axis=-1)
+        nmatch = jnp.where(done[..., None], match, best)
+        return (nmatch, ndone, it + 1)
+
+    def cond(state):
+        _, done, it = state
+        return jnp.any(~done) & (it < max_iters)
+
+    done0 = jnp.zeros((nbh, nbw), dtype=bool)
+    match, _, _ = lax.while_loop(cond, body, (origins, done0, jnp.int32(0)))
+
+    best = eval_at(_SDSP, match)  # single SDSP pass (bbme.py:515-529)
+
+    # Reference bbme.py:531-532: ch1 = row shift, ch0 = col shift.
+    return jnp.stack(
+        [best[..., 1] - origins[..., 1], best[..., 0] - origins[..., 0]], axis=-1
+    ).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch — behavioural API of reference bbme.py:12-38, 608-614
+# ---------------------------------------------------------------------------
+
+def get_motion_field(
+    previous: jnp.ndarray,
+    current: jnp.ndarray,
+    block_size: int = 4,
+    search_window: int = 2,
+    searching_procedure: int = THREESTEP,
+    pnorm_distance: int = MSE,
+    max_iters: int = 4096,
+    search_impl: str = "auto",
+    volume_radius: int = 32,
+) -> jnp.ndarray:
+    """Compute the (H//bs, W//bs, 2) int32 motion field between two frames.
+
+    Signature and defaults mirror reference bbme.py:12-19; procedure indices
+    {0: exhaustive, 1: three-step, 2: 2D-log, 3: diamond} mirror the
+    reference dispatch table (bbme.py:609-614).
+    """
+    if searching_procedure == EXHAUSTIVE:
+        return exhaustive_search(
+            previous, current, pnorm_distance, block_size, search_window
+        )
+    if searching_procedure == THREESTEP:
+        return threestep_search(
+            previous, current, pnorm_distance, block_size, search_window,
+            search_impl,
+        )
+    if searching_procedure == TWODLOG:
+        return twodlog_search(
+            previous, current, pnorm_distance, block_size, search_window,
+            max_iters, search_impl, volume_radius,
+        )
+    if searching_procedure == DIAMOND:
+        return diamond_search(
+            previous, current, pnorm_distance, block_size, search_window,
+            max_iters, search_impl, volume_radius,
+        )
+    raise ValueError(f"unknown searching procedure {searching_procedure}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block_size",
+        "search_window",
+        "searching_procedure",
+        "pnorm_distance",
+        "max_iters",
+        "search_impl",
+        "volume_radius",
+    ),
+)
+def get_motion_field_jit(
+    previous,
+    current,
+    block_size: int = 4,
+    search_window: int = 2,
+    searching_procedure: int = THREESTEP,
+    pnorm_distance: int = MSE,
+    max_iters: int = 4096,
+    search_impl: str = "auto",
+    volume_radius: int = 32,
+):
+    return get_motion_field(
+        previous,
+        current,
+        block_size,
+        search_window,
+        searching_procedure,
+        pnorm_distance,
+        max_iters,
+        search_impl,
+        volume_radius,
+    )
+
+
+def get_motion_field_cfg(previous, current, cfg: BBMEConfig) -> jnp.ndarray:
+    return get_motion_field(
+        previous,
+        current,
+        cfg.block_size,
+        cfg.search_window,
+        cfg.searching_procedure,
+        cfg.pnorm_distance,
+        cfg.max_search_iters,
+        cfg.search_impl,
+        cfg.volume_radius,
+    )

@@ -1,0 +1,187 @@
+"""The results pipeline — the framework's `train()`-equivalent driver.
+
+TPU-native re-design of reference results.py:14-112: decode the video once,
+then run the full per-pair step (GME -> affine field -> compensation -> PSNR)
+as a *batched, jitted* device program over many frame pairs at once, instead
+of the reference's serial per-pair Python loop (results.py:41).  Host I/O
+(PNG streams, JSON records) overlaps device compute via async dispatch.
+
+Output layout matches reference README.md:103-127 / results.py:28-33, and
+file naming matches results.py:62-106 (including the reference's `idx-5`
+naming of the frames/compensated streams):
+
+    <out>/<video>/{frames,compensated,curr_prev_diff,curr_comp_diff,
+                   model_motion_field}/*.png
+    <out>/<video>/psnr_records.json
+    <out>/<video>/summary.json            (new: aggregate stats + timings)
+
+Unlike the reference (which rmtree's prior results at startup,
+results.py:23-24), outputs are idempotent and `resume=True` skips frame
+indices whose records already exist — the results directory doubles as the
+restart ledger (failure recovery, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gme_tpu.config import PipelineConfig
+from gme_tpu.io.draw import draw_motion_field
+from gme_tpu.io.video import get_video_frames
+from gme_tpu.io.writers import PSNRRecords, write_png
+from gme_tpu.models.gme import gme_pipeline_batch
+from gme_tpu.utils.profiling import StageTimer, maybe_profile
+
+_STREAMS = (
+    "frames",
+    "compensated",
+    "curr_prev_diff",
+    "curr_comp_diff",
+    "model_motion_field",
+)
+
+
+def _prepare_dirs(save_path: str) -> None:
+    os.makedirs(save_path, exist_ok=True)
+    for s in _STREAMS:
+        os.makedirs(os.path.join(save_path, s), exist_ok=True)
+
+
+def _get_writer(workers: int = 2):
+    """Native async PNG writer when built, else synchronous fallback."""
+    try:
+        from gme_tpu.native.loader import AsyncPNGWriter, available
+
+        if available():
+            return AsyncPNGWriter(workers)
+    except Exception:
+        pass
+    return None
+
+
+def process_video(
+    video_path: str,
+    out_root: str = "results",
+    cfg: Optional[PipelineConfig] = None,
+    profile_dir: Optional[str] = None,
+    max_pairs: Optional[int] = None,
+) -> Dict:
+    """Run the full pipeline over one video; returns the summary dict."""
+    cfg = cfg or PipelineConfig()
+    fd = cfg.frame_distance
+    timers = StageTimer()
+
+    video_name = os.path.splitext(os.path.basename(video_path))[0]
+    save_path = os.path.join(out_root, video_name)
+    _prepare_dirs(save_path)
+
+    with timers.stage("decode"):
+        frames = get_video_frames(video_path)
+    if not frames:
+        raise RuntimeError(f"Error reading video file: {video_path}")
+    n = len(frames)
+    stack = np.stack(frames)  # (N, H, W) uint8
+
+    records = PSNRRecords(os.path.join(save_path, "psnr_records.json"))
+    writer = _get_writer()
+
+    indices = list(range(fd, n))
+    if max_pairs is not None:
+        indices = indices[:max_pairs]
+    if cfg.resume:
+        indices = [i for i in indices if str(i) not in records.records]
+
+    bsz = cfg.batch_size
+    with timers.stage("device_put"):
+        device_stack = jnp.asarray(stack)
+
+    t_start = time.perf_counter()
+    with maybe_profile(profile_dir):
+        for lo in range(0, len(indices), bsz):
+            batch_idx = indices[lo : lo + bsz]
+            pad = bsz - len(batch_idx)
+            idx_arr = np.array(batch_idx + [indices[-1]] * pad, dtype=np.int32)
+
+            with timers.stage("gme_batch"):
+                prev = device_stack[idx_arr - fd]
+                curr = device_stack[idx_arr]
+                out = gme_pipeline_batch(prev, curr, cfg.gme)
+                out = jax.device_get(out)
+
+            with timers.stage("write_outputs"):
+                for k, idx in enumerate(batch_idx):
+                    _write_pair_outputs(
+                        save_path,
+                        idx,
+                        stack[idx - fd],
+                        {key: out[key][k] for key in out},
+                        writer,
+                        write_images=cfg.write_images,
+                    )
+                    records.add(idx, float(out["psnr"][k]))
+                records.flush()
+    wall = time.perf_counter() - t_start
+
+    if writer is not None:
+        writer.drain()
+
+    summary = {
+        "video": video_name,
+        "frame_shape": list(stack.shape[1:]),
+        "pairs_processed": len(indices),
+        "frame_distance": fd,
+        "wall_s": wall,
+        "pairs_per_s": len(indices) / wall if wall > 0 else None,
+        "psnr": records.summary(),
+        "stages": timers.summary(),
+    }
+    with open(os.path.join(save_path, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def _write_pair_outputs(
+    save_path: str,
+    idx: int,
+    previous: np.ndarray,
+    out: Dict[str, np.ndarray],
+    writer,
+    write_images: bool = True,
+) -> None:
+    if not write_images:
+        return
+
+    def emit(stream: str, name: str, img: np.ndarray) -> None:
+        path = os.path.join(save_path, stream, f"{name}.png")
+        if writer is not None and img.ndim == 2:
+            writer.submit(path, img)
+        else:
+            write_png(path, img)
+
+    # Reference naming: frames/compensated keyed by idx-5 (results.py:64-77),
+    # diffs and the needle diagram keyed by idx (results.py:86-106).
+    emit("frames", str(idx - 5), previous)
+    emit("compensated", str(idx - 5), out["compensated"])
+    emit("curr_prev_diff", str(idx), out["diff_curr_prev"])
+    emit("curr_comp_diff", str(idx), out["diff_curr_comp"])
+    needle = draw_motion_field(previous, out["model_motion_field"])
+    emit("model_motion_field", str(idx), needle)
+
+
+def summarize_results(out_root: str = "results") -> List[Dict]:
+    """Aggregate stats over every processed video (replaces reference
+    utils.some_data / its __main__ walker, utils.py:138-188)."""
+    rows = []
+    for d in sorted(os.listdir(out_root)):
+        rec = os.path.join(out_root, d, "psnr_records.json")
+        if os.path.exists(rec):
+            records = PSNRRecords(rec)
+            rows.append({"video": d, **records.summary()})
+    return rows

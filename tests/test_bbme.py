@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from gme_tpu.ops.bbme import get_motion_field_jit
+
+
+@pytest.mark.parametrize("sp", [0, 1, 2, 3])
+@pytest.mark.parametrize("pn", [0, 1])
+@pytest.mark.parametrize("bs,sw", [(4, 2), (8, 4), (12, 8)])
+def test_motion_field_matches_reference_golden(goldens, sp, pn, bs, sw):
+    """All 4 search procedures x both p-norms, bit-exact vs the reference."""
+    g = goldens("bbme_synthetic.npz")
+    mine = np.array(
+        get_motion_field_jit(
+            g["prev"], g["curr"],
+            block_size=bs, search_window=sw,
+            searching_procedure=sp, pnorm_distance=pn,
+        )
+    )
+    ref = g[f"mf_sp{sp}_pn{pn}_bs{bs}_sw{sw}"]
+    assert ref.shape == mine.shape
+    assert np.array_equal(ref, mine)
+
+
+def test_motion_field_shape_and_dtype(rng):
+    prev = rng.randint(0, 256, (40, 56), np.uint8)
+    curr = rng.randint(0, 256, (40, 56), np.uint8)
+    mf = np.array(get_motion_field_jit(prev, curr, block_size=8, search_window=4))
+    assert mf.shape == (5, 7, 2)
+    assert mf.dtype == np.int32
+
+
+@pytest.mark.parametrize("sp", [0, 1, 2, 3])
+def test_pure_translation_recovered(rng, sp):
+    """A globally shifted smooth frame must yield the shift for most interior
+    blocks.  The image must be smooth (fast searches need a descent
+    landscape) and the shift even (three-step/2D-log step sizes with bs=8,
+    sw=8 are 8/4/2 — odd displacements are unreachable by construction)."""
+    shift = (2, -2)  # rows, cols
+    low = rng.randint(0, 256, (16, 16)).astype(np.float32)
+    prev = np.kron(low, np.ones((4, 4), np.float32))
+    # light blur so neighbouring blocks differ smoothly
+    for _ in range(2):
+        prev = (np.roll(prev, 1, 0) + np.roll(prev, -1, 0) + np.roll(prev, 1, 1)
+                + np.roll(prev, -1, 1) + 4 * prev) / 8.0
+    prev = prev.astype(np.uint8)
+    curr = np.roll(prev, shift, (0, 1))
+    mf = np.array(
+        get_motion_field_jit(
+            prev, curr, block_size=8, search_window=8,
+            searching_procedure=sp, pnorm_distance=1,
+        )
+    )
+    interior = mf[2:-2, 2:-2]
+    # channel 0 = column shift, channel 1 = row shift
+    ok = (interior[..., 0] == shift[1]) & (interior[..., 1] == shift[0])
+    # exhaustive/diamond recover everywhere; three-step/2D-log are greedy and
+    # plateau-prone (verified bit-exact vs the reference, which behaves the
+    # same) so only a fraction of blocks lands exactly.
+    want = 0.9 if sp in (0, 3) else 0.3
+    assert ok.mean() >= want, f"sp={sp}: only {ok.mean():.2f} of blocks correct"
+
+
+def test_identical_frames_zero_field(rng):
+    frame = rng.randint(0, 256, (48, 48), np.uint8)
+    for sp in range(4):
+        mf = np.array(
+            get_motion_field_jit(
+                frame, frame, block_size=8, search_window=4, searching_procedure=sp
+            )
+        )
+        interior = mf[1:-1, 1:-1]
+        assert (interior == 0).all(), f"procedure {sp}"
+
+
+@pytest.mark.parametrize("sp", [1, 2, 3])
+def test_volume_impl_matches_gather_impl(goldens, sp):
+    """The cost-volume fast path must be bit-identical to the exact
+    gather path (same f32-integer DFDs, same tie-breaking)."""
+    g = goldens("bbme_synthetic.npz")
+    for bs, sw in [(4, 2), (8, 4)]:
+        a = np.array(get_motion_field_jit(
+            g["prev"], g["curr"], block_size=bs, search_window=sw,
+            searching_procedure=sp, pnorm_distance=1, search_impl="gather",
+        ))
+        b = np.array(get_motion_field_jit(
+            g["prev"], g["curr"], block_size=bs, search_window=sw,
+            searching_procedure=sp, pnorm_distance=1, search_impl="volume",
+        ))
+        assert np.array_equal(a, b), f"sp={sp} bs={bs}"

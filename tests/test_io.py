@@ -1,0 +1,83 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gme_tpu.io.video import _parse_y4m, bgr_to_gray, get_video_frames
+from gme_tpu.io.writers import PSNRRecords, _png_encode, write_png
+
+try:
+    import cv2
+
+    HAS_CV2 = True
+except Exception:
+    HAS_CV2 = False
+
+
+@pytest.mark.skipif(not HAS_CV2, reason="cv2 unavailable")
+def test_bgr_to_gray_matches_cv2(rng):
+    frame = rng.randint(0, 256, (32, 48, 3), np.uint8)
+    assert np.array_equal(bgr_to_gray(frame), cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
+
+
+def _write_y4m(path, frames, subsampling="420"):
+    h, w = frames[0].shape
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C{subsampling}\n".encode())
+        for y in frames:
+            f.write(b"FRAME\n")
+            f.write(y.tobytes())
+            if subsampling == "420":
+                f.write(bytes((w // 2) * (h // 2) * 2))
+
+
+def test_y4m_roundtrip(tmp_path, rng):
+    frames = [rng.randint(0, 256, (16, 24), np.uint8) for _ in range(3)]
+    path = str(tmp_path / "clip.y4m")
+    _write_y4m(path, frames)
+    decoded = _parse_y4m(path)
+    assert len(decoded) == 3
+    for a, b in zip(frames, decoded):
+        assert np.array_equal(a, b)
+    via_api = get_video_frames(path)
+    assert len(via_api) == 3 and np.array_equal(via_api[0], frames[0])
+
+
+def test_png_encoder_roundtrip(tmp_path, rng):
+    img = rng.randint(0, 256, (20, 30), np.uint8)
+    data = _png_encode(img)
+    assert data.startswith(b"\x89PNG")
+    if HAS_CV2:
+        path = str(tmp_path / "x.png")
+        with open(path, "wb") as f:
+            f.write(data)
+        back = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        assert np.array_equal(back, img)
+
+
+def test_png_color_roundtrip(tmp_path, rng):
+    img = rng.randint(0, 256, (12, 17, 3), np.uint8)  # BGR
+    path = str(tmp_path / "c.png")
+    write_png(path, img)
+    if HAS_CV2:
+        back = cv2.imread(path, cv2.IMREAD_COLOR)
+        assert np.array_equal(back, img)
+
+
+def test_psnr_records_roundtrip_and_reference_format(tmp_path):
+    path = str(tmp_path / "psnr_records.json")
+    rec = PSNRRecords(path)
+    rec.add(1, 22.5)
+    rec.add(2, 24.0)
+    rec.flush()
+    again = PSNRRecords(path)
+    assert again.records == {"1": 22.5, "2": 24.0}
+    s = again.summary()
+    assert s["count"] == 2 and abs(s["avg"] - 23.25) < 1e-9
+
+    # reference complex-string format (utils.py cmath bug) stays readable
+    with open(path, "w") as f:
+        json.dump({"5": "(22.724+0j)", "6": "(18.5+0j)"}, f)
+    loaded = PSNRRecords.load(path)
+    assert abs(loaded["5"] - 22.724) < 1e-9 and abs(loaded["6"] - 18.5) < 1e-9

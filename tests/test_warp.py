@@ -1,0 +1,55 @@
+import numpy as np
+import jax.numpy as jnp
+
+from gme_tpu.ops.metrics import frame_difference, psnr
+from gme_tpu.ops.warp import compensate_frame
+
+
+def test_warp_matches_reference_golden(goldens):
+    g = goldens("warp.npz")
+    mine = np.array(compensate_frame(jnp.asarray(g["frame"]), jnp.asarray(g["mf"])))
+    assert np.array_equal(mine, g["comp"])
+
+
+def test_warp_zero_field_is_identity(rng):
+    f = rng.randint(0, 256, (32, 48), np.uint8)
+    mf = np.zeros((4, 6, 2), np.int16)
+    out = np.array(compensate_frame(jnp.asarray(f), jnp.asarray(mf)))
+    assert np.array_equal(out, f)
+
+
+def test_warp_oob_keeps_original(rng):
+    """Displacements pointing outside the frame must leave pixels unchanged
+    (reference motion.py:311-318 skip semantics)."""
+    f = rng.randint(0, 256, (16, 16), np.uint8)
+    mf = np.full((2, 2, 2), 100, np.int16)  # source always out of range
+    out = np.array(compensate_frame(jnp.asarray(f), jnp.asarray(mf)))
+    assert np.array_equal(out, f)
+
+
+def test_warp_pure_translation(rng):
+    f = rng.randint(0, 256, (32, 32), np.uint8)
+    mf = np.zeros((4, 4, 2), np.int16)
+    mf[..., 0] = 2  # column shift
+    mf[..., 1] = 3  # row shift
+    out = np.array(compensate_frame(jnp.asarray(f), jnp.asarray(mf)))
+    # interior pixels: out[r, c] = f[r-3, c-2]
+    assert np.array_equal(out[3:, 2:], f[:-3, :-2])
+
+
+def test_psnr_values(goldens):
+    g = goldens("pan240_pipeline.npz")
+    val = float(psnr(g["curr_10_11"], g["comp_10_11"]))
+    assert abs(val - float(g["psnr_10_11"])) < 1e-3
+
+
+def test_psnr_identical_is_minus_one(rng):
+    f = rng.randint(0, 256, (8, 8), np.uint8)
+    assert float(psnr(f, f)) == -1.0
+
+
+def test_frame_difference(rng):
+    a = rng.randint(0, 256, (8, 8), np.uint8)
+    b = rng.randint(0, 256, (8, 8), np.uint8)
+    d = np.array(frame_difference(a, b))
+    assert np.array_equal(d, np.abs(a.astype(int) - b.astype(int)).astype(np.uint8))
