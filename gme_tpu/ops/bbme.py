@@ -48,6 +48,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from gme_tpu.config import BBMEConfig, DIAMOND, EXHAUSTIVE, MAE, MSE, THREESTEP, TWODLOG
+from gme_tpu.ops.pallas_kernels import dfd_cost_volume, use_pallas
 
 _INF = jnp.float32(jnp.inf)
 
@@ -181,21 +182,31 @@ def compute_cost_volume(
         col0[None, :] + offsets[:, None] <= W - bs
     )  # (D, nbw)
 
-    # Nested lax.scan keeps every intermediate a single (H, W) tile — XLA
-    # fuses the shifted-diff + block reduction with no (D, H, W) spill, and
-    # lowers the reduction pattern onto the MXU (measured ~100x faster than
-    # a vmap-over-offsets formulation, which spills giant intermediates).
-    def dr_step(_, dr):
-        def dc_step(__, dc):
-            win = lax.dynamic_slice(curr_pad, (P + dr, P + dc), (nbh * bs, nbw * bs))
-            diff = win - prev_f
-            per_px = jnp.abs(diff) if pnorm == MAE else diff * diff
-            return None, per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
+    if use_pallas() and R >= bs - 1:
+        # Pallas fast path (gme_tpu/ops/pallas_kernels.py): frames resident
+        # in VMEM, VPU diff + MXU box-sum.  Bit-identical to the scan path.
+        # R >= bs - 1 guarantees the (Hc + 2R, Wc + 2R) crop of the padded
+        # current frame still covers every in-frame candidate block.
+        curr_k = jnp.pad(current.astype(jnp.float32), ((R, R), (R, R)))[
+            : nbh * bs + 2 * R, : nbw * bs + 2 * R
+        ]
+        cost = dfd_cost_volume(prev_f, curr_k, bs, D, pnorm)
+    else:
+        # XLA fallback: nested lax.scan keeps every intermediate a single
+        # (H, W) tile — no (D, H, W) spill.
+        def dr_step(_, dr):
+            def dc_step(__, dc):
+                win = lax.dynamic_slice(
+                    curr_pad, (P + dr, P + dc), (nbh * bs, nbw * bs)
+                )
+                diff = win - prev_f
+                per_px = jnp.abs(diff) if pnorm == MAE else diff * diff
+                return None, per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
 
-        _, row = lax.scan(dc_step, None, offsets)
-        return None, row
+            _, row = lax.scan(dc_step, None, offsets)
+            return None, row
 
-    _, cost = lax.scan(dr_step, None, offsets)  # (D_dr, D_dc, nbh, nbw)
+        _, cost = lax.scan(dr_step, None, offsets)  # (D_dr, D_dc, nbh, nbw)
     mask = valid_r[:, None, :, None] & valid_c[None, :, None, :]
     cost = jnp.where(mask, cost, _INF)
     return cost.reshape(D * D, nbh, nbw).transpose(1, 2, 0)  # (nbh, nbw, D*D)
@@ -288,22 +299,39 @@ def exhaustive_search(
         col0[None, :] + offsets[:, None] + bs - 1 <= W - 1
     )  # (D, nbw)
 
-    def cost_for_col_offset(wc_idx):
-        wc = offsets[wc_idx]
+    if use_pallas():
+        # Pallas fast path: offset index k corresponds to offset k - sw, so
+        # the window for k starts at padded row/col k with a top/left pad of
+        # sw and a bottom/right pad of (Hc + sw + bs - 1 - H) >= sw.
+        curr_k = jnp.pad(
+            current.astype(jnp.float32),
+            (
+                (sw, nbh * bs + sw + bs - 1 - H),
+                (sw, nbw * bs + sw + bs - 1 - W),
+            ),
+        )
+        vol = dfd_cost_volume(prev_f, curr_k, bs, D, pnorm_distance)
+        # (D_wc, D_wr, nbh, nbw) — wc is the outer (slowest) loop in the
+        # reference, fixing first-minimum tie-breaking.
+        cost = vol.transpose(1, 0, 2, 3)
+    else:
 
-        def cost_for_row_offset(wr_idx):
-            wr = offsets[wr_idx]
-            win = lax.dynamic_slice(
-                curr_pad, (P + wr, P + wc), (nbh * bs, nbw * bs)
-            )
-            diff = win - prev_f
-            per_px = jnp.abs(diff) if pnorm_distance == MAE else diff * diff
-            return per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
+        def cost_for_col_offset(wc_idx):
+            wc = offsets[wc_idx]
 
-        return jax.vmap(cost_for_row_offset)(jnp.arange(D))  # (D, nbh, nbw)
+            def cost_for_row_offset(wr_idx):
+                wr = offsets[wr_idx]
+                win = lax.dynamic_slice(
+                    curr_pad, (P + wr, P + wc), (nbh * bs, nbw * bs)
+                )
+                diff = win - prev_f
+                per_px = jnp.abs(diff) if pnorm_distance == MAE else diff * diff
+                return per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
 
-    # (D_wc, D_wr, nbh, nbw) — wc is the outer (slowest) loop in the reference.
-    cost = lax.map(cost_for_col_offset, jnp.arange(D))
+            return jax.vmap(cost_for_row_offset)(jnp.arange(D))  # (D, nbh, nbw)
+
+        # (D_wc, D_wr, nbh, nbw) — wc outer, as in the reference scan order.
+        cost = lax.map(cost_for_col_offset, jnp.arange(D))
     mask = valid_r[None, :, :, None] & valid_c[:, None, None, :]
     cost = jnp.where(mask, cost, _INF)
 

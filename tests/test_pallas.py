@@ -1,0 +1,88 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The compiled-TPU path is exercised by bench.py / the driver; here the kernel
+runs through the Pallas interpreter and must be bit-identical to both the
+XLA scan formulation (bbme.compute_cost_volume) and a NumPy oracle.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gme_tpu.config import MAE, MSE
+from gme_tpu.ops import bbme
+from gme_tpu.ops.pallas_kernels import dfd_cost_volume
+
+
+def _np_cost_volume(prev, cpad, bs, D, pnorm):
+    Hc, Wc = prev.shape
+    nbh, nbw = Hc // bs, Wc // bs
+    out = np.zeros((D, D, nbh, nbw), np.float32)
+    for i in range(D):
+        for j in range(D):
+            d = cpad[i : i + Hc, j : j + Wc] - prev
+            p = np.abs(d) if pnorm == MAE else d * d
+            out[i, j] = p.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
+    return out
+
+
+@pytest.mark.parametrize("pnorm", [MAE, MSE])
+@pytest.mark.parametrize("bs,Hc,Wc,D", [(8, 32, 40, 9), (4, 24, 24, 7), (2, 16, 24, 5)])
+def test_kernel_matches_numpy_oracle(rng, pnorm, bs, Hc, Wc, D):
+    prev = rng.randint(0, 256, (Hc, Wc)).astype(np.float32)
+    cpad = rng.randint(0, 256, (Hc + D - 1, Wc + D - 1)).astype(np.float32)
+    got = np.asarray(
+        dfd_cost_volume(jnp.asarray(prev), jnp.asarray(cpad), bs, D, pnorm, interpret=True)
+    )
+    want = _np_cost_volume(prev, cpad, bs, D, pnorm)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("pnorm", [MAE, MSE])
+def test_kernel_matches_xla_cost_volume(rng, monkeypatch, pnorm):
+    """Masked volume through compute_cost_volume: pallas (interpret) ==
+    XLA scan path, bit for bit, including the +inf out-of-frame mask."""
+    H, W, bs, R = 48, 56, 8, 8
+    prev = jnp.asarray(rng.randint(0, 256, (H, W), np.uint8))
+    curr = jnp.asarray(rng.randint(0, 256, (H, W), np.uint8))
+
+    v_xla = bbme.compute_cost_volume(prev, curr, bs, R, pnorm)
+
+    # Route the pallas branch through the interpreter on CPU.
+    monkeypatch.setattr(bbme, "use_pallas", lambda: True)
+    import gme_tpu.ops.pallas_kernels as pk
+
+    orig = pk.dfd_cost_volume
+
+    def interp_kernel(p, c, bsz, D, pn, interpret=False):
+        return orig(p, c, bsz, D, pn, interpret=True)
+
+    monkeypatch.setattr(bbme, "dfd_cost_volume", interp_kernel)
+    v_pal = bbme.compute_cost_volume(prev, curr, bs, R, pnorm)
+
+    fin = np.isfinite(np.asarray(v_xla))
+    assert (np.isfinite(np.asarray(v_pal)) == fin).all()
+    np.testing.assert_array_equal(np.asarray(v_pal)[fin], np.asarray(v_xla)[fin])
+
+
+def test_exhaustive_pallas_branch_matches(rng, monkeypatch):
+    """exhaustive_search through the pallas branch (interpret) matches the
+    XLA branch, including tie-breaking scan order."""
+    H, W, bs, sw = 36, 48, 12, 8
+    prev = jnp.asarray(rng.randint(0, 256, (H, W), np.uint8))
+    curr = jnp.asarray(rng.randint(0, 256, (H, W), np.uint8))
+
+    ref = np.asarray(bbme.exhaustive_search(prev, curr, MAE, bs, sw))
+
+    import gme_tpu.ops.pallas_kernels as pk
+
+    orig = pk.dfd_cost_volume
+
+    def interp_kernel(p, c, bsz, D, pn, interpret=False):
+        return orig(p, c, bsz, D, pn, interpret=True)
+
+    monkeypatch.setattr(bbme, "use_pallas", lambda: True)
+    monkeypatch.setattr(bbme, "dfd_cost_volume", interp_kernel)
+    got = np.asarray(bbme.exhaustive_search(prev, curr, MAE, bs, sw))
+    np.testing.assert_array_equal(got, ref)
