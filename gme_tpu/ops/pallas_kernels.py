@@ -69,25 +69,61 @@ def _exact_dot(a, b):
 
 
 def _cost_volume_kernel(
-    prev_ref, win_ref, out_ref, t_ref, *, bs, D, pnorm, nbh8, nbw
+    prev_ref, win_ref, out_ref, t_ref, *, bs, D, pnorm, T, nbw
 ):
     Wc = nbw * bs
-    _, sc = _pool_matrices(nbh8, nbw, bs)
-    prev = prev_ref[...]  # (nbh8*bs, Wc), zero-padded past the real rows
-    rows = win_ref[0]  # (nbh8*bs, Wc + D - 1): the window for this row offset
+    sr, sc = _pool_matrices(T, nbw, bs)
+    prev = prev_ref[...]  # (T*bs, Wc), zero-padded past the real rows
+    rows = win_ref[0]  # (T*bs, Wc + D - 1): this tile's window, this row offset
     for dc in range(D):  # static unroll: lane slices at known offsets
         diff = rows[:, dc : dc + Wc] - prev
         per_px = jnp.abs(diff) if pnorm == MAE else diff * diff
-        # Row pooling on the VPU: aligned sublane-split reshape + sum.
-        # nbh8 is 8-aligned so every scratch store is a full aligned tile
-        # (unaligned masked stores here cost ~20x in Mosaic compile time).
-        t_ref[dc * nbh8 : (dc + 1) * nbh8, :] = per_px.reshape(
-            nbh8, bs, Wc
-        ).sum(axis=1)
-    # Column pooling as ONE tall MXU matmul (M = D*nbh8 keeps the systolic
-    # array fed; a per-dc (nbh, Wc) @ (Wc, nbw) dot would run at M/128
+        if bs < 8:
+            # Sub-tile block edge: the strided (T, bs, Wc) sublane reduction
+            # lowers to masked rotates whose stack temporaries Mosaic does
+            # NOT reuse across the unrolled dc iterations (measured 36MB of
+            # scoped vmem at 720p).  Pool rows on the MXU instead — one
+            # (T, T*bs) 0/1 matrix, full-tile accesses only.
+            t_ref[dc * T : (dc + 1) * T, :] = _exact_dot(sr, per_px)
+        else:
+            # Row pooling on the VPU: aligned sublane-split reshape + sum.
+            # T is 8-aligned so every scratch store is a full aligned tile
+            # (unaligned masked stores here cost ~20x in Mosaic compile time).
+            t_ref[dc * T : (dc + 1) * T, :] = per_px.reshape(T, bs, Wc).sum(
+                axis=1
+            )
+    # Column pooling as ONE tall MXU matmul (M = D*T keeps the systolic
+    # array fed; a per-dc (T, Wc) @ (Wc, nbw) dot would run at T/128
     # utilization).
-    out_ref[0] = _exact_dot(t_ref[...], sc)
+    out_ref[0, 0] = _exact_dot(t_ref[...], sc)
+
+
+def _pick_tile_rows(nbh8: int, bs: int, Wc: int, D: int, nbw: int) -> int:
+    """Largest 8-aligned block-row tile T whose VMEM footprint (double-
+    buffered prev + window + out blocks, plus the (D*T, Wc) scratch) fits a
+    conservative budget under the 16MB scoped-vmem limit.  Small frames get
+    T = nbh8 (single tile — the original untiled kernel); 720p+ frames tile
+    so the kernel fits at any resolution."""
+    budget = 10 * 2**20  # bytes
+    T = 8
+    for cand in range(8, nbh8 + 8, 8):
+        vmem = 4 * (
+            2 * cand * bs * Wc  # prev block, double-buffered
+            + 2 * cand * bs * (Wc + D - 1)  # window block
+            + 2 * D * cand * nbw  # out block
+            + D * cand * Wc  # scratch
+        )
+        if bs < 8:
+            # Empirical Mosaic behaviour (measured on v5e): for sub-tile
+            # block edges the per-dc temporaries (~3 buffers of (T*bs, Wc))
+            # get distinct stack slots across the unrolled loop instead of
+            # being reused, so they scale with D and must be budgeted.
+            vmem += 4 * D * 3 * cand * bs * Wc
+        if vmem <= budget:
+            T = cand
+        else:
+            break
+    return min(T, nbh8)
 
 
 @functools.partial(
@@ -126,36 +162,50 @@ def dfd_cost_volume(
         curr_pad.shape,
         (Hc + D - 1, Wc + D - 1),
     )
-    # Pad the block-row count to a multiple of 8 with zero rows in BOTH
-    # frames: the padded blocks produce exactly-zero pooled sums, dropped at
-    # the end.  This keeps every kernel memory access tile-aligned.
+    # Tile the block rows: T block rows per grid step, T chosen so the VMEM
+    # working set fits the scoped limit at any frame size (720p+ included).
+    # Padded blocks (zero rows in BOTH frames) produce exactly-zero pooled
+    # sums, dropped at the end; every kernel memory access stays tile-aligned.
     nbh8 = _round8(nbh)
-    Hp = nbh8 * bs
+    T = _pick_tile_rows(nbh8, bs, Wc, D, nbw)
+    num_tiles = -(-nbh8 // T)
+    nbhp = num_tiles * T
+    Hp = nbhp * bs
     prev_p = jnp.pad(prev_crop.astype(jnp.float32), ((0, Hp - Hc), (0, 0)))
     curr_f = jnp.pad(
         curr_pad.astype(jnp.float32),
         ((0, Hp + D - 1 - curr_pad.shape[0]), (0, 0)),
     )
-    # Row-offset windows, pre-sliced by XLA (static slices, one concat).
+    # Row-offset windows, pre-sliced by XLA (static slices, one concat);
+    # windows[dr, rt*T*bs : (rt+1)*T*bs] is tile rt's window at row offset dr,
+    # a block-aligned slice the BlockSpec below can address directly.
     windows = jnp.stack([curr_f[dr : dr + Hp] for dr in range(D)])
 
     kernel = functools.partial(
-        _cost_volume_kernel, bs=bs, D=D, pnorm=pnorm, nbh8=nbh8, nbw=nbw
+        _cost_volume_kernel, bs=bs, D=D, pnorm=pnorm, T=T, nbw=nbw
     )
+    # Grid order (rt, dr): dr fastest, so the prev block (a function of rt
+    # only) is DMA'd once per tile and reused across all D row offsets.
     out = pl.pallas_call(
         kernel,
-        grid=(D,),
+        grid=(num_tiles, D),
         in_specs=[
-            pl.BlockSpec((Hp, Wc), lambda dr: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, Hp, Wc + D - 1), lambda dr: (dr, 0, 0), memory_space=pltpu.VMEM
+                (T * bs, Wc), lambda rt, dr: (rt, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, T * bs, Wc + D - 1),
+                lambda rt, dr: (dr, rt, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, D * nbh8, nbw), lambda dr: (dr, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, D * T, nbw),
+            lambda rt, dr: (dr, rt, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((D, D * nbh8, nbw), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D * nbh8, Wc), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((D, num_tiles, D * T, nbw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * T, Wc), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=3 * D * D * Hp * Wc,
@@ -163,8 +213,9 @@ def dfd_cost_volume(
             transcendentals=0,
         ),
     )(prev_p, windows)
-    # Drop the 8-alignment padding rows: (D, D*nbh8, nbw) -> (D, D, nbh, nbw).
-    return out.reshape(D, D, nbh8, nbw)[:, :, :nbh, :]
+    # (D, num_tiles, D*T, nbw) -> (D, D, nbhp, nbw), drop alignment padding.
+    out = out.reshape(D, num_tiles, D, T, nbw).transpose(0, 2, 1, 3, 4)
+    return out.reshape(D, D, nbhp, nbw)[:, :, :nbh, :]
 
 
 def use_pallas() -> bool:
