@@ -1,13 +1,23 @@
-"""Benchmark: full results-pipeline throughput (frames/s) on one chip.
+"""Benchmark: full results-pipeline throughput (pairs/s) on one chip,
+swept over 240p / 480p / 720p.
 
 Runs the complete per-pair GME pipeline (3-level pyramid, dense diamond
 init, hierarchical robust affine fit, dense field, compensation, PSNR) over
-the whole pan240 video as batched device programs, and reports pairs/s.
+whole videos as batched device programs:
 
-Baseline: the reference CPU implementation measured locally on this machine
-(BASELINE.md): 2.575 pairs/s on pan240 (320x240, 206 pairs, frame_distance 1).
+- 240p: the reference's committed fixture pan240.mp4 (320x240, 206 pairs).
+- 480p / 720p: cubic upscales of pan240 (the BASELINE.md methodology — the
+  reference CPU 720p number was measured on exactly such an upscale).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines (BASELINE.md, measured locally on this machine):
+    pan240  (320x240):  2.575  pairs/s
+    pan480  (640x480):  0.4672 pairs/s
+    pan720 (1280x720):  0.1915 pairs/s
+
+The headline metric is the 720p north-star (BASELINE.json: >=50x reference
+CPU => >=9.57 pairs/s).  Prints ONE JSON line to stdout:
+{"metric", "value", "unit", "vs_baseline"}; per-resolution detail goes to
+stderr.
 """
 
 import json
@@ -17,12 +27,14 @@ import time
 
 import numpy as np
 
-REFERENCE_FPS_PAN240 = 2.575  # measured locally; see BASELINE.md
+# Reference CPU pairs/s measured locally (BASELINE.md).
+BASELINES = {"240p": 2.575, "480p": 0.4672, "720p": 0.1915}
+SIZES = {"240p": (240, 320), "480p": (480, 640), "720p": (720, 1280)}
 
 PAN240 = "/root/reference/global_motion_estimation/resources/videos/pan240.mp4"
 
 
-def _load_frames():
+def _load_pan240():
     if os.path.exists(PAN240):
         try:
             from gme_tpu.io.video import get_video_frames
@@ -30,27 +42,36 @@ def _load_frames():
             return np.stack(get_video_frames(PAN240))
         except Exception:
             pass
-    # synthetic fallback: 207 panning frames, same geometry as pan240
+    # Synthetic fallback: 207 panning frames, same geometry as pan240.
     rng = np.random.RandomState(0)
     base = rng.randint(0, 256, (480, 640), np.uint8)
-    return np.stack(
-        [base[i : i + 240, 2 * i : 2 * i + 320] for i in range(207)]
-    )
+    return np.stack([base[i : i + 240, 2 * i : 2 * i + 320] for i in range(207)])
 
 
-def main():
+def _upscale(frames: np.ndarray, hw) -> np.ndarray:
+    H, W = hw
+    try:
+        import cv2
+
+        return np.stack(
+            [cv2.resize(f, (W, H), interpolation=cv2.INTER_CUBIC) for f in frames]
+        )
+    except Exception:
+        # Dependency-free fallback: nearest-neighbour repeat (integer ratios).
+        ry, rx = H // frames.shape[1], W // frames.shape[2]
+        return np.repeat(np.repeat(frames, ry, axis=1), rx, axis=2)
+
+
+def _run_resolution(frames: np.ndarray, batch: int):
     import jax
     import jax.numpy as jnp
 
     from gme_tpu.config import GMEConfig
     from gme_tpu.models.gme import gme_pipeline_batch
 
-    frames = _load_frames()
-    n_pairs = frames.shape[0] - 1
     cfg = GMEConfig()
-
+    n_pairs = frames.shape[0] - 1
     device_frames = jnp.asarray(frames)
-    batch = 32
 
     def run_all():
         outs = []
@@ -68,31 +89,44 @@ def main():
     t0 = time.perf_counter()
     outs = run_all()
     dt = time.perf_counter() - t0
-
-    fps = n_pairs / dt
     psnrs = np.concatenate([np.asarray(o["psnr"]) for o in outs])[:n_pairs]
-    result = {
-        "metric": "gme_pipeline_pairs_per_s_pan240",
-        "value": round(fps, 3),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(fps / REFERENCE_FPS_PAN240, 2),
-    }
-    print(json.dumps(result))
+    return n_pairs / dt, dt, psnrs, n_pairs
+
+
+def main():
+    import jax
+
+    pan240 = _load_pan240()
+    detail = {"device": str(jax.devices()[0])}
+    results = {}
+    for name in ("240p", "480p", "720p"):
+        frames = pan240 if name == "240p" else _upscale(pan240, SIZES[name])
+        batch = {"240p": 32, "480p": 16, "720p": 8}[name]
+        fps, dt, psnrs, n_pairs = _run_resolution(frames, batch)
+        results[name] = fps
+        detail[name] = {
+            "pairs_per_s": round(fps, 3),
+            "vs_baseline": round(fps / BASELINES[name], 2),
+            "wall_s": round(dt, 3),
+            "n_pairs": int(n_pairs),
+            "psnr_avg": round(float(psnrs.mean()), 3),
+            "psnr_min": round(float(psnrs.min()), 3),
+            "psnr_max": round(float(psnrs.max()), 3),
+        }
+        print(json.dumps({name: detail[name]}), file=sys.stderr)
+
+    # Headline: the 720p north-star (BASELINE.json >=50x => >=9.57 pairs/s).
     print(
         json.dumps(
             {
-                "detail": {
-                    "n_pairs": int(n_pairs),
-                    "wall_s": round(dt, 3),
-                    "psnr_avg": round(float(psnrs.mean()), 3),
-                    "psnr_min": round(float(psnrs.min()), 3),
-                    "psnr_max": round(float(psnrs.max()), 3),
-                    "device": str(jax.devices()[0]),
-                }
+                "metric": "gme_pipeline_pairs_per_s_pan720",
+                "value": round(results["720p"], 3),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(results["720p"] / BASELINES["720p"], 2),
             }
-        ),
-        file=sys.stderr,
+        )
     )
+    print(json.dumps({"detail": detail}), file=sys.stderr)
 
 
 if __name__ == "__main__":
