@@ -19,18 +19,56 @@ import sys
 import numpy as np
 
 
+def _parse_mesh(spec: str):
+    """Parse "data=2,space=4" into a MeshConfig."""
+    from gme_tpu.config import MeshConfig
+
+    kw = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        key, _, val = part.partition("=")
+        if key not in ("data", "space"):
+            raise SystemExit(f"unknown mesh axis {key!r} (use data=,space=)")
+        kw[key] = int(val)
+    return MeshConfig(**kw)
+
+
+def _apply_platform(args) -> None:
+    """Pin the JAX platform before the backend initialises.  Needed because
+    device plugins may ignore the JAX_PLATFORMS environment variable."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
 def _cmd_results(args) -> None:
-    from gme_tpu.config import PipelineConfig
+    _apply_platform(args)
+    from gme_tpu.config import GMEConfig, PipelineConfig
     from gme_tpu.pipeline.results import process_video
 
+    gme = GMEConfig(
+        block_size=args.block_size,
+        pyramid_levels=args.levels,
+        outlier_fraction=args.outlier_fraction,
+        coord_stride=args.coord_stride,
+        searching_procedure=args.searching_procedure,
+        pnorm_distance=args.pnorm,
+        search_impl=args.search_impl,
+        volume_radius=args.volume_radius,
+    )
     cfg = PipelineConfig(
         frame_distance=int(args.fd) if args.fd else 1,
+        gme=gme,
+        mesh=_parse_mesh(args.mesh),
         batch_size=args.batch_size,
         resume=args.resume,
         write_images=not args.no_images,
     )
     summary = process_video(
-        args.path, out_root=args.out, cfg=cfg, profile_dir=args.profile_dir
+        args.path, out_root=args.out, cfg=cfg, profile_dir=args.profile_dir,
+        max_pairs=args.max_pairs,
     )
     print(json.dumps(summary, indent=2))
 
@@ -105,6 +143,28 @@ def main(argv=None) -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-images", action="store_true")
     p.add_argument("--profile-dir", default=None)
+    # GME model knobs (defaults = reference constants, motion.py:9-10 etc.)
+    p.add_argument("--block-size", type=int, default=16,
+                   help="GME block size (reference BBME_BLOCK_SIZE=16)")
+    p.add_argument("--levels", type=int, default=3,
+                   help="pyramid levels (reference utils.py:34)")
+    p.add_argument("--outlier-fraction", type=float, default=0.3,
+                   help="robust-fit outlier fraction (reference motion.py:10)")
+    p.add_argument("--coord-stride", type=int, default=4,
+                   help="normal-equation cell stride (reference quirk: 4)")
+    p.add_argument("-sp", "--searching-procedure", type=int, default=3,
+                   help="0=exhaustive 1=three-step 2=2D-log 3=diamond")
+    p.add_argument("-pn", "--p-norm", dest="pnorm", type=int, default=1,
+                   help="0=MAE 1=MSE")
+    p.add_argument("--search-impl", choices=("auto", "gather", "volume"),
+                   default="auto")
+    p.add_argument("--volume-radius", type=int, default=32)
+    p.add_argument("--mesh", default="data=1,space=1",
+                   help='device mesh, e.g. "data=2,space=4": pairs shard '
+                        'over data, frame rows over space (halo exchange)')
+    p.add_argument("--max-pairs", type=int, default=None)
+    p.add_argument("--platform", default=None,
+                   help="pin the JAX platform (e.g. cpu for the 8-vdev mesh)")
     p.set_defaults(func=_cmd_results)
 
     p = sub.add_parser("bbme", help="motion field between two frames")

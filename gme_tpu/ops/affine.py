@@ -74,6 +74,93 @@ def parameter_projection(parameters: jnp.ndarray) -> jnp.ndarray:
     return parameters * scale
 
 
+def moments_fit_ok(
+    nbh: int, nbw: int, frame_shape: Tuple[int, int], coord_stride: int
+) -> bool:
+    """Static overflow check for the exact integer-moment fit: every moment
+    sum must fit int32.  Holds for all realistic frame sizes (up to ~1080p
+    with the reference stride); larger frames fall back to the centered-f32
+    accumulation."""
+    n = nbh * nbw
+    xmax = max((nbh - 1) * coord_stride, 1)
+    ymax = max((nbw - 1) * coord_stride, 1)
+    dmax = max(frame_shape)  # field displacements cannot exceed the frame
+    worst = max(
+        n * xmax * ymax,
+        n * xmax * xmax,
+        n * ymax * ymax,
+        n * max(xmax, ymax) * dmax,
+        n * dmax,
+    )
+    return worst < 2**31 - 1
+
+
+def int_moments(
+    motion_field: jnp.ndarray,
+    inlier_mask: jnp.ndarray,
+    coord_stride: int = 4,
+    row0=0,
+) -> jnp.ndarray:
+    """Exact int32 moment sums of the normal equations over inlier cells.
+
+    Integer summation is order-independent, so a `psum` of per-shard
+    moments is BIT-IDENTICAL to the single-device sum — the distributed
+    affine fit (gme_tpu/parallel/spatial.py) produces exactly the same
+    parameters as the single-device fit by construction.
+
+    Layout: [n, Σx, Σy, Σxx, Σxy, Σyy,
+             Σd0, Σx·d0, Σy·d0, Σd1, Σx·d1, Σy·d1]
+    with x = (row0 + i)·stride, y = j·stride (reference motion.py:57-58).
+    `row0` offsets the block-row coordinate for row-band shards.
+    """
+    nbh, nbw = motion_field.shape[:2]
+    m = inlier_mask.astype(jnp.int32)
+    x = (row0 + lax.broadcasted_iota(jnp.int32, (nbh, nbw), 0)) * coord_stride
+    y = lax.broadcasted_iota(jnp.int32, (nbh, nbw), 1) * coord_stride
+    d0 = motion_field[..., 0].astype(jnp.int32) * m
+    d1 = motion_field[..., 1].astype(jnp.int32) * m
+    mx = m * x
+    my = m * y
+    return jnp.stack(
+        [
+            jnp.sum(m), jnp.sum(mx), jnp.sum(my),
+            jnp.sum(mx * x), jnp.sum(mx * y), jnp.sum(my * y),
+            jnp.sum(d0), jnp.sum(d0 * x), jnp.sum(d0 * y),
+            jnp.sum(d1), jnp.sum(d1 * x), jnp.sum(d1 * y),
+        ]
+    )
+
+
+def params_from_moments(moments: jnp.ndarray) -> jnp.ndarray:
+    """Solve the affine normal equations from exact integer moments.
+
+    The constant weight w = 1/(H·W) of reference motion.py:47 cancels from
+    both sides of (Σ w·AᵀA) a = (Σ w·Aᵀd).  The system is mean-centered
+    analytically (Σ(x-x̄) = 0), reducing to a deterministic closed-form
+    2x2 solve per axis — identical on every device given identical moments.
+    """
+    mom = moments.astype(jnp.float32)
+    n, Sx, Sy, Sxx, Sxy, Syy = mom[0], mom[1], mom[2], mom[3], mom[4], mom[5]
+    xbar = Sx / n
+    ybar = Sy / n
+    Gxx = Sxx - Sx * xbar
+    Gxy = Sxy - Sx * ybar
+    Gyy = Syy - Sy * ybar
+    det = Gxx * Gyy - Gxy * Gxy
+
+    def axis_params(Sd, Sxd, Syd):
+        bx = Sxd - xbar * Sd
+        by = Syd - ybar * Sd
+        a1 = (bx * Gyy - by * Gxy) / det
+        a2 = (by * Gxx - bx * Gxy) / det
+        a0 = Sd / n - a1 * xbar - a2 * ybar
+        return a0, a1, a2
+
+    a0, a1, a2 = axis_params(mom[6], mom[7], mom[8])
+    b0, b1, b2 = axis_params(mom[9], mom[10], mom[11])
+    return jnp.stack([a0, a1, a2, b0, b1, b2]).astype(jnp.float32)
+
+
 def fit_normal_equations(
     motion_field: jnp.ndarray,
     inlier_mask: jnp.ndarray,
@@ -86,6 +173,11 @@ def fit_normal_equations(
     x = i*stride, y = j*stride, w = 1/(H·W), restricted to inlier cells —
     the einsum form of reference motion.py:52-84 / 248-282.
 
+    Integer motion fields within the int32 moment bound take the EXACT
+    integer-moment path (`int_moments` + `params_from_moments`): bit-
+    reproducible across devices, mesh shapes, and reduction orders.  Float
+    fields (or oversized frames) use the mean-centered f32 einsum path.
+
     Args:
         motion_field: (nbh, nbw, 2) int block motion field (channel 0 fits
             the first parameter triple, channel 1 the second — reference
@@ -97,6 +189,26 @@ def fit_normal_equations(
     Returns:
         (6,) float32 parameters [a0,a1,a2,b0,b1,b2].
     """
+    nbh, nbw = motion_field.shape[:2]
+    if jnp.issubdtype(motion_field.dtype, jnp.integer) and moments_fit_ok(
+        nbh, nbw, frame_shape, coord_stride
+    ):
+        return params_from_moments(
+            int_moments(motion_field, inlier_mask, coord_stride)
+        )
+    return _fit_normal_equations_f32(
+        motion_field, inlier_mask, frame_shape, coord_stride
+    )
+
+
+def _fit_normal_equations_f32(
+    motion_field: jnp.ndarray,
+    inlier_mask: jnp.ndarray,
+    frame_shape: Tuple[int, int],
+    coord_stride: int = 4,
+) -> jnp.ndarray:
+    """Mean-centered f32 einsum fit (fallback for float fields / frames
+    beyond the int32 moment bound)."""
     nbh, nbw = motion_field.shape[:2]
     H, W = frame_shape
     w = jnp.float32(1.0 / (H * W))

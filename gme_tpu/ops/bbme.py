@@ -45,12 +45,15 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from gme_tpu.config import BBMEConfig, DIAMOND, EXHAUSTIVE, MAE, MSE, THREESTEP, TWODLOG
 from gme_tpu.ops.pallas_kernels import dfd_cost_volume, use_pallas
 
-_INF = jnp.float32(jnp.inf)
+# Module-level constants stay NumPy/Python so importing the package never
+# initialises a JAX backend (lets callers pin the platform first).
+_INF = float("inf")
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +152,37 @@ def _make_gather_evaluator(
     return evaluate
 
 
+def _cost_volume_core(
+    prev_crop: jnp.ndarray, curr_pad: jnp.ndarray, bs: int, D: int, pnorm: int
+) -> jnp.ndarray:
+    """(D, D, nbh, nbw) unmasked DFD volume; the window for offset index
+    (i, j) is ``curr_pad[i:i+Hc, j:j+Wc]`` (the Pallas kernel contract,
+    gme_tpu/ops/pallas_kernels.py).  Shared by the full-frame and row-band
+    volume builders; bit-identical across the Pallas and XLA paths."""
+    Hc, Wc = prev_crop.shape
+    nbh, nbw = Hc // bs, Wc // bs
+    assert curr_pad.shape == (Hc + D - 1, Wc + D - 1)
+    if use_pallas():
+        # Pallas fast path: frames resident in VMEM, VPU diff + MXU box-sum.
+        return dfd_cost_volume(prev_crop, curr_pad, bs, D, pnorm)
+    # XLA fallback: nested lax.scan keeps every intermediate a single
+    # (Hc, Wc) tile — no (D, H, W) spill.
+    idx = jnp.arange(D, dtype=jnp.int32)
+
+    def dr_step(_, dr):
+        def dc_step(__, dc):
+            win = lax.dynamic_slice(curr_pad, (dr, dc), (Hc, Wc))
+            diff = win - prev_crop
+            per_px = jnp.abs(diff) if pnorm == MAE else diff * diff
+            return None, per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
+
+        _, row = lax.scan(dc_step, None, idx)
+        return None, row
+
+    _, cost = lax.scan(dr_step, None, idx)  # (D_dr, D_dc, nbh, nbw)
+    return cost
+
+
 def compute_cost_volume(
     previous: jnp.ndarray,
     current: jnp.ndarray,
@@ -169,8 +203,10 @@ def compute_cost_volume(
     D = 2 * R + 1
 
     prev_f = previous[: nbh * bs, : nbw * bs].astype(jnp.float32)
-    P = R + bs
-    curr_pad = jnp.pad(current.astype(jnp.float32), ((P, P), (P, P)))
+    curr_pad = jnp.pad(current.astype(jnp.float32), ((R, R), (R, R)))[
+        : nbh * bs + 2 * R, : nbw * bs + 2 * R
+    ]
+    cost = _cost_volume_core(prev_f, curr_pad, bs, D, pnorm)
 
     offsets = jnp.arange(-R, R + 1, dtype=jnp.int32)
     row0 = jnp.arange(nbh, dtype=jnp.int32) * bs
@@ -181,51 +217,77 @@ def compute_cost_volume(
     valid_c = (col0[None, :] + offsets[:, None] >= 0) & (
         col0[None, :] + offsets[:, None] <= W - bs
     )  # (D, nbw)
-
-    if use_pallas() and R >= bs - 1:
-        # Pallas fast path (gme_tpu/ops/pallas_kernels.py): frames resident
-        # in VMEM, VPU diff + MXU box-sum.  Bit-identical to the scan path.
-        # R >= bs - 1 guarantees the (Hc + 2R, Wc + 2R) crop of the padded
-        # current frame still covers every in-frame candidate block.
-        curr_k = jnp.pad(current.astype(jnp.float32), ((R, R), (R, R)))[
-            : nbh * bs + 2 * R, : nbw * bs + 2 * R
-        ]
-        cost = dfd_cost_volume(prev_f, curr_k, bs, D, pnorm)
-    else:
-        # XLA fallback: nested lax.scan keeps every intermediate a single
-        # (H, W) tile — no (D, H, W) spill.
-        def dr_step(_, dr):
-            def dc_step(__, dc):
-                win = lax.dynamic_slice(
-                    curr_pad, (P + dr, P + dc), (nbh * bs, nbw * bs)
-                )
-                diff = win - prev_f
-                per_px = jnp.abs(diff) if pnorm == MAE else diff * diff
-                return None, per_px.reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
-
-            _, row = lax.scan(dc_step, None, offsets)
-            return None, row
-
-        _, cost = lax.scan(dr_step, None, offsets)  # (D_dr, D_dc, nbh, nbw)
     mask = valid_r[:, None, :, None] & valid_c[None, :, None, :]
     cost = jnp.where(mask, cost, _INF)
     return cost.reshape(D * D, nbh, nbw).transpose(1, 2, 0)  # (nbh, nbw, D*D)
 
 
-def _make_volume_evaluator(
-    previous: jnp.ndarray, current: jnp.ndarray, bs: int, pnorm: int, radius: int
+def compute_cost_volume_band(
+    prev_band: jnp.ndarray,
+    curr_band_ext: jnp.ndarray,
+    gb0: jnp.ndarray,
+    frame_shape: Tuple[int, int],
+    block_size: int,
+    radius: int,
+    pnorm: int,
+) -> jnp.ndarray:
+    """(T, nbw, D*D) masked DFD cost volume for a row band of blocks — the
+    spatially-sharded building block (gme_tpu/parallel/spatial.py): each
+    device computes the volume only for its own block rows, from its local
+    previous-frame band plus halo-exchanged current-frame rows.
+
+    Args:
+        prev_band: (T*bs, Wc) float32 — previous-frame rows
+            [gb0*bs, (gb0+T)*bs), zero-padded past the frame bottom.
+        curr_band_ext: (T*bs + 2R, Wc + 2R) float32 — current-frame rows
+            [gb0*bs - R, (gb0+T)*bs + R), zero beyond the frame (masked
+            invalid below), columns padded by R.
+        gb0: traced scalar — global block-row index of band row 0.
+        frame_shape: global (H, W).
+
+    Returns:
+        (T, nbw, D*D) float32 volume, +inf where the candidate block falls
+        outside the global frame; entry layout k = (dr + R) * D + (dc + R),
+        identical to `compute_cost_volume`.
+    """
+    H, W = frame_shape
+    bs, R = block_size, radius
+    T = prev_band.shape[0] // bs
+    Wc = prev_band.shape[1]
+    nbw = Wc // bs
+    D = 2 * R + 1
+    cost = _cost_volume_core(prev_band, curr_band_ext, bs, D, pnorm)  # (D,D,T,nbw)
+
+    offsets = jnp.arange(-R, R + 1, dtype=jnp.int32)
+    row0 = (gb0 + jnp.arange(T, dtype=jnp.int32)) * bs
+    col0 = jnp.arange(nbw, dtype=jnp.int32) * bs
+    valid_r = (row0[None, :] + offsets[:, None] >= 0) & (
+        row0[None, :] + offsets[:, None] <= H - bs
+    )  # (D, T)
+    valid_c = (col0[None, :] + offsets[:, None] >= 0) & (
+        col0[None, :] + offsets[:, None] <= W - bs
+    )  # (D, nbw)
+    mask = valid_r[:, None, :, None] & valid_c[None, :, None, :]
+    cost = jnp.where(mask, cost, _INF)
+    return cost.reshape(D * D, T, nbw).transpose(1, 2, 0)
+
+
+def volume_evaluator(
+    volume: jnp.ndarray, origins: jnp.ndarray, radius: int
 ) -> Evaluator:
     """Evaluator backed by a precomputed cost volume: walks do only scalar
     lookups.  Positions farther than `radius` from the block origin read
-    +inf (see module docstring on radius choice)."""
-    H, W = previous.shape
-    nbh, nbw = _block_grid(H, W, bs)
+    +inf (see module docstring on radius choice).
+
+    Args:
+        volume: (..., D*D) masked cost volume (full-frame or row-band).
+        origins: (..., 2) absolute block origins matching volume's leading
+            dims (global coordinates in the banded case).
+    """
     D = 2 * radius + 1
-    volume = compute_cost_volume(previous, current, bs, radius, pnorm)
-    origins = _block_origins(nbh, nbw, bs)
 
     def evaluate(pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        off = pos - origins[..., None, :]  # (nbh, nbw, K, 2)
+        off = pos - origins[..., None, :]  # (..., K, 2)
         inside = (jnp.abs(off[..., 0]) <= radius) & (jnp.abs(off[..., 1]) <= radius)
         k = (jnp.clip(off[..., 0], -radius, radius) + radius) * D + (
             jnp.clip(off[..., 1], -radius, radius) + radius
@@ -234,6 +296,16 @@ def _make_volume_evaluator(
         return jnp.where(valid & inside, cost, _INF)
 
     return evaluate
+
+
+def _make_volume_evaluator(
+    previous: jnp.ndarray, current: jnp.ndarray, bs: int, pnorm: int, radius: int
+) -> Evaluator:
+    """Full-frame volume evaluator."""
+    H, W = previous.shape
+    nbh, nbw = _block_grid(H, W, bs)
+    volume = compute_cost_volume(previous, current, bs, radius, pnorm)
+    return volume_evaluator(volume, _block_origins(nbh, nbw, bs), radius)
 
 
 def _resolve_impl(search_impl: str) -> str:
@@ -523,13 +595,59 @@ def twodlog_search(
 # Diamond search (reference bbme.py:436-534) — the GME default
 # ---------------------------------------------------------------------------
 
-_LDSP = jnp.array(
+_LDSP = np.array(
     [(0, 0), (2, 0), (1, 1), (0, 2), (-1, 1), (-2, 0), (-1, -1), (0, -2), (1, -1)],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 # SDSP offsets as the reference *applies* them — swapped (offset[1], offset[0])
 # (bbme.py:518-521): [(0,0),(1,0),(0,1),(-1,0),(0,-1)] becomes this sequence.
-_SDSP = jnp.array([(0, 0), (0, 1), (1, 0), (0, -1), (-1, 0)], dtype=jnp.int32)
+_SDSP = np.array([(0, 0), (0, 1), (1, 0), (0, -1), (-1, 0)], dtype=np.int32)
+
+
+def diamond_walk(
+    evaluate: Evaluator,
+    origins: jnp.ndarray,
+    H: int,
+    W: int,
+    block_size: int,
+    max_iters: int = 4096,
+) -> jnp.ndarray:
+    """The diamond walk itself: LDSP loop until every block's center wins,
+    then one SDSP pass.  Shared by the full-frame search and the row-band
+    (spatially-sharded) path — `origins` carries absolute (global)
+    coordinates in either case, so clamps and tie-breaking are identical.
+
+    Returns the best absolute positions, shaped like `origins`.
+    """
+    bs = block_size
+    rmax = H - bs - 1
+    cmax = W - bs - 1
+
+    def eval_at(offsets, match):
+        pos = match[..., None, :] + offsets  # (..., K, 2)
+        pos = jnp.stack(
+            [jnp.clip(pos[..., 0], 0, rmax), jnp.clip(pos[..., 1], 0, cmax)],
+            axis=-1,
+        )
+        valid = jnp.ones(pos.shape[:-1], dtype=bool)
+        cost = evaluate(pos, valid)
+        return _take_best(pos, cost)
+
+    def body(state):
+        match, done, it = state
+        best = eval_at(_LDSP, match)
+        ndone = done | jnp.all(best == match, axis=-1)
+        nmatch = jnp.where(done[..., None], match, best)
+        return (nmatch, ndone, it + 1)
+
+    def cond(state):
+        _, done, it = state
+        return jnp.any(~done) & (it < max_iters)
+
+    done0 = jnp.zeros(origins.shape[:-1], dtype=bool)
+    match, _, _ = lax.while_loop(cond, body, (origins, done0, jnp.int32(0)))
+
+    return eval_at(_SDSP, match)  # single SDSP pass (bbme.py:515-529)
 
 
 def diamond_search(
@@ -559,35 +677,7 @@ def diamond_search(
         previous, current, bs, pnorm_distance, search_impl, volume_radius
     )
     origins = _block_origins(nbh, nbw, bs)
-
-    rmax = H - bs - 1
-    cmax = W - bs - 1
-
-    def eval_at(offsets, match):
-        pos = match[..., None, :] + offsets  # (nbh, nbw, K, 2)
-        pos = jnp.stack(
-            [jnp.clip(pos[..., 0], 0, rmax), jnp.clip(pos[..., 1], 0, cmax)],
-            axis=-1,
-        )
-        valid = jnp.ones(pos.shape[:-1], dtype=bool)
-        cost = evaluate(pos, valid)
-        return _take_best(pos, cost)
-
-    def body(state):
-        match, done, it = state
-        best = eval_at(_LDSP, match)
-        ndone = done | jnp.all(best == match, axis=-1)
-        nmatch = jnp.where(done[..., None], match, best)
-        return (nmatch, ndone, it + 1)
-
-    def cond(state):
-        _, done, it = state
-        return jnp.any(~done) & (it < max_iters)
-
-    done0 = jnp.zeros((nbh, nbw), dtype=bool)
-    match, _, _ = lax.while_loop(cond, body, (origins, done0, jnp.int32(0)))
-
-    best = eval_at(_SDSP, match)  # single SDSP pass (bbme.py:515-529)
+    best = diamond_walk(evaluate, origins, H, W, bs, max_iters)
 
     # Reference bbme.py:531-532: ch1 = row shift, ch0 = col shift.
     return jnp.stack(

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from jax import lax
 
 # 5-tap binomial kernel with integer weights (sum 16 per axis, 256 in 2-D).
-_K5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32)
 
 
 def _reflect101_pad2(img: jnp.ndarray) -> jnp.ndarray:

@@ -27,7 +27,6 @@ def make_sharded_pipeline(mesh: Mesh, cfg: GMEConfig):
     Batch size must be a multiple of the data-axis size.
     """
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
-    repl = NamedSharding(mesh, P())
 
     @partial(
         jax.jit,
@@ -39,5 +38,4 @@ def make_sharded_pipeline(mesh: Mesh, cfg: GMEConfig):
             prev_batch, curr_batch
         )
 
-    del repl
     return step

@@ -54,6 +54,34 @@ def _prepare_dirs(save_path: str) -> None:
         os.makedirs(os.path.join(save_path, s), exist_ok=True)
 
 
+def _build_step(cfg: PipelineConfig, H: int, W: int):
+    """Compile the batched per-pair step according to `cfg.mesh`.
+
+    - mesh 1x1: single-device batched pipeline (vmap over pairs);
+    - mesh Dx1: pair batch sharded over the "data" axis (DP);
+    - mesh DxS: pairs over "data" AND frame rows over "space" — the full
+      hierarchical robust GME under shard_map with halo exchange
+      (gme_tpu.parallel.spatial).
+    """
+    m = cfg.mesh
+    if m.data * m.space == 1:
+        return lambda p, c: gme_pipeline_batch(p, c, cfg.gme)
+    if cfg.batch_size % m.data:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} must divide by mesh data={m.data}"
+        )
+    from gme_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=m.data, space=m.space)
+    if m.space == 1:
+        from gme_tpu.parallel.data_parallel import make_sharded_pipeline
+
+        return make_sharded_pipeline(mesh, cfg.gme)
+    from gme_tpu.parallel.spatial import make_spatial_pipeline
+
+    return make_spatial_pipeline(mesh, cfg.gme, H, W)
+
+
 def _get_writer(workers: int = 2):
     """Native async PNG writer when built, else synchronous fallback."""
     try:
@@ -99,6 +127,7 @@ def process_video(
         indices = [i for i in indices if str(i) not in records.records]
 
     bsz = cfg.batch_size
+    step = _build_step(cfg, int(stack.shape[1]), int(stack.shape[2]))
     with timers.stage("device_put"):
         device_stack = jnp.asarray(stack)
 
@@ -112,7 +141,7 @@ def process_video(
             with timers.stage("gme_batch"):
                 prev = device_stack[idx_arr - fd]
                 curr = device_stack[idx_arr]
-                out = gme_pipeline_batch(prev, curr, cfg.gme)
+                out = step(prev, curr)
                 out = jax.device_get(out)
 
             with timers.stage("write_outputs"):

@@ -1,12 +1,20 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (conftest.py).
+
+The spatially-sharded pipeline must match the single-device flagship
+bit-for-bit on integer outputs (motion fields, compensated frames) and to
+float tolerance on the fitted parameters — the same model, sharded.
+Single-device comparisons force `search_impl="volume"`, the engine the
+sharded path uses (bit-identical to "gather" for in-radius walks; see
+gme_tpu/ops/bbme.py module docstring).
+"""
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from gme_tpu.config import GMEConfig
+from gme_tpu.config import GMEConfig, MeshConfig, PipelineConfig
 from gme_tpu.models.gme import gme_pipeline_step_jit
-from gme_tpu.ops.bbme import exhaustive_search
-from gme_tpu.ops.affine import fit_normal_equations
 from gme_tpu.parallel.mesh import make_mesh
 from gme_tpu.parallel.data_parallel import make_sharded_pipeline
 from gme_tpu.parallel.spatial import make_spatial_pipeline
@@ -24,6 +32,24 @@ def _pairs(rng, B, H, W):
     return prev, curr
 
 
+def _assert_matches_single(out, prev, curr, cfg):
+    """The int-moment fit (ops/affine.py) makes the sharded parameters
+    BIT-IDENTICAL to single-device, so every downstream integer output must
+    be bit-equal too."""
+    B = prev.shape[0]
+    for k in range(B):
+        single = jax.device_get(gme_pipeline_step_jit(prev[k], curr[k], cfg))
+        assert np.array_equal(
+            out["parameters"][k], single["parameters"]
+        ), f"pair {k}: {out['parameters'][k]} vs {single['parameters']}"
+        assert np.array_equal(
+            out["model_motion_field"][k], single["model_motion_field"]
+        )
+        assert np.array_equal(out["compensated"][k], single["compensated"])
+        assert np.array_equal(out["diff_curr_comp"][k], single["diff_curr_comp"])
+        assert abs(float(out["psnr"][k]) - float(single["psnr"])) < 1e-3
+
+
 def test_data_parallel_matches_single_device(rng):
     mesh = make_mesh(data=8, space=1)
     cfg = GMEConfig()
@@ -38,39 +64,93 @@ def test_data_parallel_matches_single_device(rng):
         assert abs(float(out["psnr"][k]) - float(single["psnr"])) < 1e-3
 
 
-def test_spatial_sharded_step_matches_unsharded(rng):
-    """Halo-exchanged, psum'd spatial step == same math on one device."""
-    cfg = GMEConfig()
-    B, H, W = 2, 128, 80  # 128 rows / (space=4 * bs=16) = 2 block-rows/shard
+def test_spatial_full_parity_block_aligned(rng):
+    """Full hierarchical robust GME under shard_map == single device, on a
+    frame whose row bands align with block boundaries."""
+    cfg = GMEConfig(search_impl="volume")
+    B, H, W = 2, 128, 80  # bands of 32 rows = 2 x bs16 block rows
     mesh = make_mesh(data=2, space=4)
     prev, curr = _pairs(rng, B, H, W)
-    step = make_spatial_pipeline(mesh, cfg, H, W, B)
+    step = make_spatial_pipeline(mesh, cfg, H, W)
     out = jax.device_get(step(jnp.asarray(prev), jnp.asarray(curr)))
+    _assert_matches_single(out, prev, curr, cfg)
 
-    for k in range(B):
-        # unsharded oracle: exhaustive field + unmasked fit + affine warp
-        mf = np.array(exhaustive_search(
-            jnp.asarray(prev[k]), jnp.asarray(curr[k]),
-            cfg.pnorm_distance, cfg.block_size, 2,
-        ))
-        ref_params = np.array(fit_normal_equations(
-            jnp.asarray(mf), jnp.ones(mf.shape[:2], bool), (H, W), cfg.coord_stride
-        ))
-        assert np.allclose(out["parameters"][k], ref_params, atol=1e-4), (
-            f"pair {k}: {out['parameters'][k]} vs {ref_params}"
-        )
-        assert np.isfinite(out["psnr"][k])
+
+def test_spatial_full_parity_straddling_blocks(rng):
+    """Bands of 24 rows with 16-px blocks: blocks straddle shard edges, the
+    W=84 remainder columns exercise partial coverage."""
+    cfg = GMEConfig(search_impl="volume")
+    B, H, W = 2, 96, 84
+    mesh = make_mesh(data=2, space=4)
+    prev, curr = _pairs(rng, B, H, W)
+    step = make_spatial_pipeline(mesh, cfg, H, W)
+    out = jax.device_get(step(jnp.asarray(prev), jnp.asarray(curr)))
+    _assert_matches_single(out, prev, curr, cfg)
+
+
+def test_spatial_space2(rng):
+    cfg = GMEConfig(search_impl="volume")
+    B, H, W = 4, 80, 64
+    mesh = make_mesh(data=4, space=2)
+    prev, curr = _pairs(rng, B, H, W)
+    step = make_spatial_pipeline(mesh, cfg, H, W)
+    out = jax.device_get(step(jnp.asarray(prev), jnp.asarray(curr)))
+    _assert_matches_single(out, prev, curr, cfg)
 
 
 def test_spatial_params_identical_across_devices(rng):
     """psum guarantees identical parameters everywhere; the gathered output
     must be consistent (one value per pair)."""
-    cfg = GMEConfig()
+    cfg = GMEConfig(search_impl="volume")
     B, H, W = 2, 128, 80
     mesh = make_mesh(data=2, space=4)
     prev, curr = _pairs(rng, B, H, W)
-    step = make_spatial_pipeline(mesh, cfg, H, W, B)
+    step = make_spatial_pipeline(mesh, cfg, H, W)
     out = step(jnp.asarray(prev), jnp.asarray(curr))
     params = jax.device_get(out["parameters"])
     assert params.shape == (B, 6)
     assert np.isfinite(params).all()
+
+
+def test_spatial_shape_validation():
+    cfg = GMEConfig()
+    mesh = make_mesh(data=2, space=4)
+    with pytest.raises(ValueError, match="divisible"):
+        make_spatial_pipeline(mesh, cfg, 100, 80)  # 100 % 16 != 0
+
+
+def test_process_video_with_mesh(tmp_path, rng):
+    """The results driver consumes PipelineConfig.mesh: a meshed run must
+    produce the same psnr_records as the single-device run."""
+    import cv2
+
+    from gme_tpu.pipeline.results import process_video
+
+    H, W, N = 64, 48, 6
+    frames = [rng.randint(0, 256, (H, W), np.uint8)]
+    for i in range(1, N):
+        frames.append(np.roll(frames[0], (i, -i), (0, 1)))
+    path = str(tmp_path / "tiny.mp4")
+    vw = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (W, H), isColor=False
+    )
+    if not vw.isOpened():  # codec not available in this build
+        pytest.skip("cv2 VideoWriter mp4v unavailable")
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+    gme = GMEConfig(search_impl="volume")
+    single = process_video(
+        path, out_root=str(tmp_path / "single"),
+        cfg=PipelineConfig(gme=gme, batch_size=4, write_images=False),
+    )
+    meshed = process_video(
+        path, out_root=str(tmp_path / "meshed"),
+        cfg=PipelineConfig(
+            gme=gme, batch_size=4, write_images=False,
+            mesh=MeshConfig(data=2, space=4),
+        ),
+    )
+    assert single["pairs_processed"] == meshed["pairs_processed"]
+    assert abs(single["psnr"]["avg"] - meshed["psnr"]["avg"]) < 1e-3
