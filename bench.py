@@ -96,6 +96,9 @@ def _run_resolution(frames: np.ndarray, batch: int):
 def main():
     import jax
 
+    from gme_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
     pan240 = _load_pan240()
     detail = {"device": str(jax.devices()[0])}
     results = {}

@@ -66,10 +66,20 @@ def _cmd_results(args) -> None:
         resume=args.resume,
         write_images=not args.no_images,
     )
-    summary = process_video(
-        args.path, out_root=args.out, cfg=cfg, profile_dir=args.profile_dir,
-        max_pairs=args.max_pairs,
-    )
+    if args.num_processes > 1:
+        from gme_tpu.parallel.multihost import process_video_multihost
+
+        summary = process_video_multihost(
+            args.path, out_root=args.out, cfg=cfg,
+            num_processes=args.num_processes, process_id=args.process_id,
+            coordinator_address=args.coordinator, gop_size=args.gop_size,
+            max_pairs=args.max_pairs,
+        )
+    else:
+        summary = process_video(
+            args.path, out_root=args.out, cfg=cfg,
+            profile_dir=args.profile_dir, max_pairs=args.max_pairs,
+        )
     print(json.dumps(summary, indent=2))
 
 
@@ -116,6 +126,41 @@ def _cmd_bbme(args) -> None:
         draw_motion_field(previous, hier),
     )
     print(f"wrote needle diagrams to {out_dir}")
+
+
+def _cmd_direct(args) -> None:
+    """Direct (gradient-descent) GME between two frames — the working
+    version of the reference's abandoned prototypes (gd tests/)."""
+    _apply_platform(args)
+    import jax.numpy as jnp
+
+    from gme_tpu.io.video import get_video_frames
+    from gme_tpu.models.direct import direct_motion_compensation
+    from gme_tpu.ops.metrics import psnr
+
+    frames = get_video_frames(args.path)
+    previous = jnp.asarray(frames[args.fi - args.fd])
+    current = jnp.asarray(frames[args.fi])
+    params, comp = direct_motion_compensation(
+        previous,
+        current,
+        model=args.model,
+        levels=args.levels,
+        iterations=args.iterations,
+        learning_rate=args.lr,
+    )
+    out = {
+        "model": args.model,
+        "parameters": [float(p) for p in params],
+        "psnr_before": float(psnr(current, previous)),
+        "psnr_after": float(psnr(current, comp)),
+    }
+    if args.out:
+        from gme_tpu.io.writers import write_png
+
+        os.makedirs(args.out, exist_ok=True)
+        write_png(os.path.join(args.out, f"direct_{args.fi}.png"), np.array(comp))
+    print(json.dumps(out, indent=2))
 
 
 def _cmd_stats(args) -> None:
@@ -165,6 +210,12 @@ def main(argv=None) -> None:
     p.add_argument("--max-pairs", type=int, default=None)
     p.add_argument("--platform", default=None,
                    help="pin the JAX platform (e.g. cpu for the 8-vdev mesh)")
+    # multi-host: GOPs shard across processes (gme_tpu.parallel.multihost)
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator host:port")
+    p.add_argument("--gop-size", type=int, default=16)
     p.set_defaults(func=_cmd_results)
 
     p = sub.add_parser("bbme", help="motion field between two frames")
@@ -178,6 +229,20 @@ def main(argv=None) -> None:
     )
     p.add_argument("-o", "--out", default="resources")
     p.set_defaults(func=_cmd_bbme)
+
+    p = sub.add_parser("direct", help="direct (gradient-descent) GME on one pair")
+    p.add_argument("-v", "--video-path", dest="path", required=True)
+    p.add_argument("-fi", "--frame-index", dest="fi", type=int, required=True)
+    p.add_argument("-f", "--frame-distance", dest="fd", type=int, default=1)
+    p.add_argument("--model", choices=("affine", "perspective"),
+                   default="perspective")
+    p.add_argument("--levels", type=int, default=3)
+    p.add_argument("--iterations", type=int, default=300)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("-o", "--out", default=None,
+                   help="write the compensated frame PNG here")
+    p.add_argument("--platform", default=None)
+    p.set_defaults(func=_cmd_direct)
 
     p = sub.add_parser("stats", help="aggregate PSNR stats over results")
     p.add_argument("results", nargs="?", default="results")

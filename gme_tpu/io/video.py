@@ -125,6 +125,28 @@ def get_video_frames(path: str, native: Optional[bool] = None) -> List[np.ndarra
     return frames
 
 
+def write_y4m(path: str, frames, fps: int = 30) -> None:
+    """Write grayscale frames as YUV4MPEG2 (C420jpeg, neutral chroma).
+
+    Dependency-free lossless encode for the framework's raw-video path: the
+    Y plane round-trips bit-exactly through `get_video_frames`.
+    """
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    H, W = frames[0].shape
+    if H % 2 or W % 2:
+        raise ValueError("y4m 4:2:0 needs even dimensions")
+    chroma = np.full((H // 2) * (W // 2), 128, np.uint8).tobytes()
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{W} H{H} F{fps}:1 Ip A1:1 C420jpeg\n".encode())
+        for fr in frames:
+            if fr.shape != (H, W):
+                raise ValueError("all frames must share one shape")
+            f.write(b"FRAME\n")
+            f.write(fr.tobytes())
+            f.write(chroma)
+            f.write(chroma)
+
+
 def frames_to_array(frames: List[np.ndarray]) -> np.ndarray:
     """Stack decoded frames into one (N, H, W) uint8 array for device_put."""
     return np.stack(frames, axis=0)

@@ -1,1 +1,1 @@
-from gme_tpu.models import gme, hierarchical_bbme  # noqa: F401
+from gme_tpu.models import direct, gme, hierarchical_bbme  # noqa: F401

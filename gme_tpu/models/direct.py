@@ -8,25 +8,40 @@ hand-rolled NumPy GD `motion.py:108-147`, a PyTorch Adam attempt declared
 "does not work" at `testing_GD_with_pytorch.py:33-38`, and a SymPy Hessian
 attempt marked "#! does not work" at `hessian_gradient.py:82-85`).  The
 root causes were structural: integer-rounded warps (no gradient), per-pixel
-Python loops, and no smooth interpolation.
+Python loops, no smooth interpolation — and wildly mismatched parameter
+scales (the perspective terms a6/a7 move pixels by ~coordinate², the linear
+terms by ~coordinate, the offsets by 1).
 
 This module is the working TPU-native realisation of that feature:
 
 - the legacy 8-parameter **perspective model** of the reference prototype
   (gd tests/motion.py:51-63: x' = (a0 + a2*x + a3*y) / (a6*x + a7*y + 1),
   y' = (a1 + a4*x + a5*y) / (a6*x + a7*y + 1)) and the 6-parameter affine
-  model (motion.py:91-105), vectorised over the pixel grid;
-- a **differentiable backward warp** (bilinear gather) so the photometric
-  SSD loss (gd tests/motion.py:9-23) has usable gradients — JAX autodiff
-  replaces the reference's symbolic/handmade derivative attempts;
-- coarse-to-fine optimisation over the Gaussian pyramid with the
-  prototype's parameter projection rule (a0,a1 doubled, a6,a7 halved per
-  finer level — gd tests/motion.py:95-105), a fixed per-level iteration
-  budget (N_MAX_ITERATIONS=100, gd tests/motion.py:6) inside `lax.scan`
-  (static shapes, one compile), and Adam updates via optax;
+  displacement model (motion.py:91-105), vectorised over the pixel grid;
+- a **differentiable backward warp** (bilinear gather, clamp-to-edge) so
+  the photometric SSD loss (gd tests/motion.py:9-23) has usable gradients —
+  JAX autodiff replaces the reference's symbolic/handmade derivatives;
+- **normalised-coordinate optimisation**: internally every level optimises
+  on coordinates divided by max(H, W), which puts all parameters on an O(1)
+  scale (a6/a7 included) so Adam converges without per-model hand-tuning.
+  Normalised parameters are scale-invariant, so the prototype's projection
+  rule (a0,a1 doubled, a6,a7 halved per finer level — gd tests/
+  motion.py:95-105) becomes the identity between pyramid levels; the rule
+  is still exported as `project_params` for pixel-unit parameters;
+- coarse-to-fine over the Gaussian pyramid with a fixed per-level iteration
+  budget inside `lax.scan` (static shapes, one compile), Adam via optax;
 - a vectorised **forward-warp** compensator matching the prototype's
   scatter semantics (gd tests/motion.py:66-80: destination coords clamped
-  to the frame, later writes win) plus the standard backward compensator.
+  to the frame, the LAST source pixel in row-major order wins on
+  collisions) made deterministic with a rank-keyed scatter-max, plus the
+  standard backward compensator.
+
+Directionality: estimated parameters map CURRENT-frame coordinates to
+PREVIOUS-frame coordinates (a backward warp — `warp_backward(previous,
+params)` reconstructs the current frame).  `warp_forward` implements the
+prototype's forward scatter and therefore expects the inverse mapping
+(previous→current); feeding estimated parameters to it compensates in the
+wrong direction.
 
 Everything is jit-compatible and batchable with `jax.vmap`.
 """
@@ -43,7 +58,12 @@ from jax import lax
 
 from gme_tpu.ops.pyramid import get_pyramids
 
-N_MAX_ITERATIONS = 100  # per level, reference gd tests/motion.py:6
+N_MAX_ITERATIONS = 100  # the prototype's budget, reference gd tests/motion.py:6
+DEFAULT_ITERATIONS = 300  # per level (empirically: exact recovery at 3 levels)
+# Peak Adam step in normalised-coordinate units; cosine-decayed to 0 within
+# each level so the final oscillation is far below a pixel (0.01 * max(H,W)
+# would otherwise bound the achievable precision).
+DEFAULT_LEARNING_RATE = 0.01
 
 # ---------------------------------------------------------------------------
 # Motion models (vectorised over coordinate grids)
@@ -88,13 +108,33 @@ def identity_params(model: str) -> jnp.ndarray:
 
 
 def project_params(params: jnp.ndarray, model: str) -> jnp.ndarray:
-    """One pyramid level finer.  Perspective: a0,a1 *= 2, a6,a7 /= 2
-    (gd tests/motion.py:95-105).  Affine: a0,b0 *= 2 (motion.py:191-207)."""
+    """One pyramid level finer, for PIXEL-unit parameters.  Perspective:
+    a0,a1 *= 2, a6,a7 /= 2 (gd tests/motion.py:95-105).  Affine: a0,b0 *= 2
+    (motion.py:191-207).  (The internal normalised-coordinate optimisation
+    does not need this — normalised parameters are scale-invariant.)"""
     if model == "perspective":
         s = jnp.array([2, 2, 1, 1, 1, 1, 0.5, 0.5], jnp.float32)
     else:
         s = jnp.array([2, 1, 1, 2, 1, 1], jnp.float32)
     return params * s
+
+
+def params_to_pixel(params: jnp.ndarray, scale: float, model: str) -> jnp.ndarray:
+    """Convert normalised-coordinate parameters (coords / scale) to
+    pixel-coordinate parameters.  Same scaling family as `project_params`
+    (that rule is exactly this conversion with scale ratio 2)."""
+    if model == "perspective":
+        s = jnp.array(
+            [scale, scale, 1, 1, 1, 1, 1.0 / scale, 1.0 / scale], jnp.float32
+        )
+    else:
+        s = jnp.array([scale, 1, 1, scale, 1, 1], jnp.float32)
+    return params * s
+
+
+def params_from_pixel(params: jnp.ndarray, scale: float, model: str) -> jnp.ndarray:
+    """Inverse of `params_to_pixel`."""
+    return params_to_pixel(params, 1.0 / scale, model)
 
 
 def _model_coords(model: str, params, x, y):
@@ -109,11 +149,15 @@ def _model_coords(model: str, params, x, y):
 
 
 def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear lookup img[x, y] with edge clamping (x = row coordinate,
+    """Bilinear lookup img[x, y] with clamp-to-edge (x = row coordinate,
     matching the reference's (i, j) = (row, col) convention throughout
-    gd tests/motion.py:66-80)."""
+    gd tests/motion.py:66-80).  The CONTINUOUS coordinates are clamped
+    before the floor split, so out-of-bounds samples resolve to the true
+    edge pixel (and its gradient) instead of blending interior rows."""
     H, W = img.shape
     img = img.astype(jnp.float32)
+    x = jnp.clip(x, 0.0, H - 1.0)
+    y = jnp.clip(y, 0.0, W - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -138,7 +182,7 @@ def warp_backward(
     frame: jnp.ndarray, params: jnp.ndarray, model: str = "perspective"
 ) -> jnp.ndarray:
     """Differentiable backward warp: out[i, j] = frame[model(i, j)]
-    (bilinear).  Float32 output in [0, 255]."""
+    (bilinear).  Float32 output in [0, 255].  `params` are pixel-unit."""
     H, W = frame.shape
     xs = lax.broadcasted_iota(jnp.float32, (H, W), 0)
     ys = lax.broadcasted_iota(jnp.float32, (H, W), 1)
@@ -151,22 +195,32 @@ def warp_forward(
 ) -> jnp.ndarray:
     """Forward (scatter) warp with the legacy prototype's semantics
     (gd tests/motion.py:66-80): each source pixel (i, j) is written to the
-    rounded-down mapped coordinate, clamped into the frame; pixels nothing
-    maps to stay 0; among colliding writes the LAST source pixel in row-
-    major order wins (the prototype's loop-order behaviour), realised here
-    with `mode="drop"`-free scatter on int destination indices."""
+    truncated mapped coordinate, clamped into the frame; pixels nothing
+    maps to stay 0; among colliding writes the LAST source pixel in
+    row-major order wins (the prototype's loop order).  Collisions resolve
+    deterministically via a rank-keyed scatter-max (XLA's duplicate-index
+    `.set` application order is unspecified).
+
+    NOTE: expects a previous→current (forward) mapping — the INVERSE of the
+    parameters estimated by `direct_global_motion_estimation` (see module
+    docstring on directionality).
+    """
     H, W = frame.shape
     xs = lax.broadcasted_iota(jnp.float32, (H, W), 0)
     ys = lax.broadcasted_iota(jnp.float32, (H, W), 1)
     x1, y1 = _model_coords(model, params, xs, ys)
     xd = jnp.clip(x1.astype(jnp.int32), 0, H - 1)
     yd = jnp.clip(y1.astype(jnp.int32), 0, W - 1)
-    out = jnp.zeros_like(frame)
-    # XLA scatter with duplicate indices: last update in operand order wins
-    # when applied sequentially; `.at[].set` uses unique_indices=False and
-    # applies updates in order for `set` on TPU via sort — semantics match
-    # the prototype's row-major overwrite.
-    return out.at[xd.reshape(-1), yd.reshape(-1)].set(frame.reshape(-1))
+    # Pack (row-major source rank, pixel value) into one int32 key so that
+    # scatter-max selects the highest-rank (= last-written) source pixel.
+    rank = lax.broadcasted_iota(jnp.int32, (H, W), 0) * W + lax.broadcasted_iota(
+        jnp.int32, (H, W), 1
+    )
+    val = jnp.clip(jnp.round(frame.astype(jnp.float32)), 0, 255).astype(jnp.int32)
+    packed = rank * 256 + val
+    out = jnp.full((H, W), -1, jnp.int32)
+    out = out.at[xd.reshape(-1), yd.reshape(-1)].max(packed.reshape(-1))
+    return jnp.where(out < 0, 0, out % 256).astype(frame.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -179,11 +233,17 @@ def photometric_loss(
     previous: jnp.ndarray,
     current: jnp.ndarray,
     model: str,
+    coord_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Mean squared photometric error between the backward-warped previous
     frame and the current frame (the SSD of gd tests/motion.py:9-23,
-    normalised so the loss scale is resolution-independent)."""
-    warped = warp_backward(previous, params, model)
+    normalised so the loss scale is resolution-independent).  `params` are
+    in normalised coordinates when `coord_scale` > 1 (coords / scale)."""
+    H, W = previous.shape
+    xs = lax.broadcasted_iota(jnp.float32, (H, W), 0) * (1.0 / coord_scale)
+    ys = lax.broadcasted_iota(jnp.float32, (H, W), 1) * (1.0 / coord_scale)
+    x1, y1 = _model_coords(model, params, xs, ys)
+    warped = bilinear_sample(previous, x1 * coord_scale, y1 * coord_scale)
     err = warped - current.astype(jnp.float32)
     return jnp.mean(err * err)
 
@@ -196,28 +256,32 @@ def optimize_level(
     previous: jnp.ndarray,
     current: jnp.ndarray,
     model: str = "perspective",
-    iterations: int = N_MAX_ITERATIONS,
-    learning_rate: float = 0.05,
+    iterations: int = DEFAULT_ITERATIONS,
+    learning_rate: float = DEFAULT_LEARNING_RATE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-budget Adam minimisation of the photometric loss at one level.
 
+    `params` are NORMALISED-coordinate parameters (coords / max(H, W)): the
+    linear terms move pixels by ~1·coordinate, the perspective terms by
+    ~coordinate² — on [0, 1]-ish coordinates every parameter has O(1)
+    scale, which is what makes this converge where the reference's
+    prototypes (and a naive pixel-coordinate Adam) diverge.  The learning
+    rate cosine-decays to 0 within the level: Adam's step magnitude ~ lr,
+    so a constant lr would leave an O(lr·max(H,W))-pixel limit cycle.
+
     A bounded `lax.scan` (one compile, static shapes) replaces the
     reference's N_MAX_ITERATIONS Python loop that never computed a usable
-    gradient.  Per-parameter scale normalisation: the linear terms (a1..a5)
-    move pixels by ~coordinate magnitude and the perspective terms (a6, a7)
-    by ~coordinate², so their gradients live on wildly different scales —
-    Adam's per-parameter normalisation handles this without hand-tuning.
-
-    Returns (final params, per-iteration loss trace).
+    gradient.  Returns (final params, per-iteration loss trace).
     """
     prev_f = previous.astype(jnp.float32)
     curr_f = current.astype(jnp.float32)
-    opt = optax.adam(learning_rate)
+    scale = float(max(previous.shape))
+    opt = optax.adam(optax.cosine_decay_schedule(learning_rate, iterations))
     grad_fn = jax.value_and_grad(photometric_loss)
 
     def step(carry, _):
         p, opt_state = carry
-        loss, g = grad_fn(p, prev_f, curr_f, model)
+        loss, g = grad_fn(p, prev_f, curr_f, model, scale)
         updates, opt_state = opt.update(g, opt_state, p)
         p = optax.apply_updates(p, updates)
         return (p, opt_state), loss
@@ -233,22 +297,25 @@ def direct_global_motion_estimation(
     current: jnp.ndarray,
     model: str = "perspective",
     levels: int = 3,
-    iterations: int = N_MAX_ITERATIONS,
-    learning_rate: float = 0.05,
+    iterations: int = DEFAULT_ITERATIONS,
+    learning_rate: float = DEFAULT_LEARNING_RATE,
 ) -> jnp.ndarray:
     """Coarse-to-fine direct GME: the working version of the reference's
     abandoned `global_motion_estimation` prototype (gd tests/motion.py:150+).
 
     Pipeline: Gaussian pyramids (coarsest first, reference utils.py:34-51)
     → identity init at the coarsest level → per level: Adam refinement of
-    the photometric loss → parameter projection to the next finer level.
+    the photometric loss in normalised coordinates (scale-invariant, so no
+    parameter projection is needed between levels — the prototype's
+    ×2/÷2 rule is the identity here).
 
-    Returns the (8,) perspective or (6,) affine parameters at full
-    resolution.
+    Returns the (8,) perspective or (6,) affine parameters in PIXEL units
+    at full resolution, mapping current-frame to previous-frame coordinates
+    (see module docstring on directionality).
     """
     prev_pyr = get_pyramids(previous, levels)
     curr_pyr = get_pyramids(current, levels)
-    params = identity_params(model)
+    params = identity_params(model)  # identity in any coordinate scale
     for lvl in range(levels):
         params, _ = optimize_level(
             params,
@@ -258,9 +325,7 @@ def direct_global_motion_estimation(
             iterations=iterations,
             learning_rate=learning_rate,
         )
-        if lvl != levels - 1:
-            params = project_params(params, model)
-    return params
+    return params_to_pixel(params, float(max(previous.shape)), model)
 
 
 def direct_motion_compensation(

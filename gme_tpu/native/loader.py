@@ -2,10 +2,9 @@
 
 The native library provides the host-side components that sit off-device by
 necessity (SURVEY.md §2.3): raw-video (y4m) decode into packed frame
-buffers, a multi-threaded zlib PNG writer for the results streams, and a
-prefetching frame loader.  Built with `python -m gme_tpu.native.build` (or
-`make -C gme_tpu/native`); every caller falls back to pure Python when the
-library is absent.
+buffers and a multi-threaded zlib PNG writer for the results streams.
+Built with `python -m gme_tpu.native.build`; every caller falls back to
+pure Python when the library is absent.
 """
 
 from __future__ import annotations

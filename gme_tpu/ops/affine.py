@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gme_tpu.utils import guards
+
 
 def affine_model(x, y, parameters: jnp.ndarray) -> jnp.ndarray:
     """Displacement of position (x, y) under the affine model.
@@ -141,12 +143,17 @@ def params_from_moments(moments: jnp.ndarray) -> jnp.ndarray:
     """
     mom = moments.astype(jnp.float32)
     n, Sx, Sy, Sxx, Sxy, Syy = mom[0], mom[1], mom[2], mom[3], mom[4], mom[5]
+    guards.check(n > 0, "affine fit: empty inlier set (all cells masked out)")
     xbar = Sx / n
     ybar = Sy / n
     Gxx = Sxx - Sx * xbar
     Gxy = Sxy - Sx * ybar
     Gyy = Syy - Sy * ybar
     det = Gxx * Gyy - Gxy * Gxy
+    guards.check(
+        det != 0,
+        "affine fit: singular normal equations (inlier cells are collinear)",
+    )
 
     def axis_params(Sd, Sxd, Syd):
         bx = Sxd - xbar * Sd
@@ -222,6 +229,7 @@ def _fit_normal_equations_f32(
     # the 3x3 system becomes near-block-diagonal, which keeps the float32
     # solve accurate where the reference leans on float64 (motion.py:52-65).
     wsum = jnp.sum(mw)
+    guards.check(wsum > 0, "affine fit: empty inlier set (all cells masked out)")
     xbar = jnp.sum(xs * mw) / wsum
     ybar = jnp.sum(ys * mw) / wsum
     xc = xs - xbar

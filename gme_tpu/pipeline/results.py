@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ from gme_tpu.io.draw import draw_motion_field
 from gme_tpu.io.video import get_video_frames
 from gme_tpu.io.writers import PSNRRecords, write_png
 from gme_tpu.models.gme import gme_pipeline_batch
+from gme_tpu.utils import compilation_cache
 from gme_tpu.utils.profiling import StageTimer, maybe_profile
 
 _STREAMS = (
@@ -54,6 +55,12 @@ def _prepare_dirs(save_path: str) -> None:
         os.makedirs(os.path.join(save_path, s), exist_ok=True)
 
 
+# Outputs the driver actually transfers off-device.  The diff-image streams
+# are recomputed on host from frames already in host RAM (bit-identical
+# integer math) — halving host<->device traffic per batch.
+_TRANSFER_KEYS = ("parameters", "model_motion_field", "compensated", "psnr")
+
+
 def _build_step(cfg: PipelineConfig, H: int, W: int):
     """Compile the batched per-pair step according to `cfg.mesh`.
 
@@ -62,24 +69,32 @@ def _build_step(cfg: PipelineConfig, H: int, W: int):
     - mesh DxS: pairs over "data" AND frame rows over "space" — the full
       hierarchical robust GME under shard_map with halo exchange
       (gme_tpu.parallel.spatial).
+
+    The returned step outputs only `_TRANSFER_KEYS` (the outer jit dead-code
+    -eliminates the rest of the per-pair dict).
     """
     m = cfg.mesh
     if m.data * m.space == 1:
-        return lambda p, c: gme_pipeline_batch(p, c, cfg.gme)
-    if cfg.batch_size % m.data:
-        raise ValueError(
-            f"batch_size={cfg.batch_size} must divide by mesh data={m.data}"
-        )
-    from gme_tpu.parallel.mesh import make_mesh
+        base = lambda p, c: gme_pipeline_batch(p, c, cfg.gme)  # noqa: E731
+    else:
+        if cfg.batch_size % m.data:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide by mesh data={m.data}"
+            )
+        from gme_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(data=m.data, space=m.space)
-    if m.space == 1:
-        from gme_tpu.parallel.data_parallel import make_sharded_pipeline
+        mesh = make_mesh(data=m.data, space=m.space)
+        if m.space == 1:
+            from gme_tpu.parallel.data_parallel import make_sharded_pipeline
 
-        return make_sharded_pipeline(mesh, cfg.gme)
-    from gme_tpu.parallel.spatial import make_spatial_pipeline
+            base = make_sharded_pipeline(mesh, cfg.gme)
+        else:
+            from gme_tpu.parallel.spatial import make_spatial_pipeline
 
-    return make_spatial_pipeline(mesh, cfg.gme, H, W)
+            base = make_spatial_pipeline(mesh, cfg.gme, H, W)
+    return jax.jit(
+        lambda p, c: {k: v for k, v in base(p, c).items() if k in _TRANSFER_KEYS}
+    )
 
 
 def _get_writer(workers: int = 2):
@@ -100,11 +115,21 @@ def process_video(
     cfg: Optional[PipelineConfig] = None,
     profile_dir: Optional[str] = None,
     max_pairs: Optional[int] = None,
+    shard: Optional[Tuple[int, int]] = None,
+    gop_size: int = 16,
 ) -> Dict:
-    """Run the full pipeline over one video; returns the summary dict."""
+    """Run the full pipeline over one video; returns the summary dict.
+
+    `shard=(shard_id, num_shards)` selects this process's GOPs: frame pairs
+    group into GOPs of `gop_size` and GOP g belongs to shard g % num_shards
+    (multi-host orchestration, gme_tpu.parallel.multihost: each host decodes
+    locally and writes its own psnr_records.rank<k>.json — the per-GOP work
+    manifest that doubles as the elastic-recovery ledger, SURVEY.md §5).
+    """
     cfg = cfg or PipelineConfig()
     fd = cfg.frame_distance
     timers = StageTimer()
+    compilation_cache.enable()
 
     video_name = os.path.splitext(os.path.basename(video_path))[0]
     save_path = os.path.join(out_root, video_name)
@@ -117,12 +142,21 @@ def process_video(
     n = len(frames)
     stack = np.stack(frames)  # (N, H, W) uint8
 
-    records = PSNRRecords(os.path.join(save_path, "psnr_records.json"))
+    shard_id, num_shards = shard if shard is not None else (0, 1)
+    rec_name = (
+        "psnr_records.json" if shard is None
+        else f"psnr_records.rank{shard_id}.json"
+    )
+    records = PSNRRecords(os.path.join(save_path, rec_name))
     writer = _get_writer()
 
     indices = list(range(fd, n))
     if max_pairs is not None:
         indices = indices[:max_pairs]
+    if num_shards > 1:
+        indices = [
+            i for i in indices if ((i - fd) // gop_size) % num_shards == shard_id
+        ]
     if cfg.resume:
         indices = [i for i in indices if str(i) not in records.records]
 
@@ -131,31 +165,47 @@ def process_video(
     with timers.stage("device_put"):
         device_stack = jnp.asarray(stack)
 
+    def _flush(pending) -> None:
+        """Transfer a finished batch and write its outputs — runs while the
+        NEXT batch computes on device (double buffering)."""
+        batch_idx, out = pending
+        with timers.stage("device_get"):
+            out = jax.device_get(out)
+        with timers.stage("write_outputs"):
+            for k, idx in enumerate(batch_idx):
+                _write_pair_outputs(
+                    save_path,
+                    idx,
+                    stack[idx - fd],
+                    stack[idx],
+                    {key: out[key][k] for key in out},
+                    writer,
+                    write_images=cfg.write_images,
+                )
+                records.add(idx, float(out["psnr"][k]))
+            records.flush()
+
     t_start = time.perf_counter()
     with maybe_profile(profile_dir):
+        pending = None
         for lo in range(0, len(indices), bsz):
             batch_idx = indices[lo : lo + bsz]
             pad = bsz - len(batch_idx)
             idx_arr = np.array(batch_idx + [indices[-1]] * pad, dtype=np.int32)
 
-            with timers.stage("gme_batch"):
+            # JAX dispatch is asynchronous: enqueue batch k+1 BEFORE
+            # transferring batch k, so host PNG/JSON writes overlap device
+            # compute (the reference's loop is strictly serial,
+            # results.py:41).
+            with timers.stage("dispatch"):
                 prev = device_stack[idx_arr - fd]
                 curr = device_stack[idx_arr]
                 out = step(prev, curr)
-                out = jax.device_get(out)
-
-            with timers.stage("write_outputs"):
-                for k, idx in enumerate(batch_idx):
-                    _write_pair_outputs(
-                        save_path,
-                        idx,
-                        stack[idx - fd],
-                        {key: out[key][k] for key in out},
-                        writer,
-                        write_images=cfg.write_images,
-                    )
-                    records.add(idx, float(out["psnr"][k]))
-                records.flush()
+            if pending is not None:
+                _flush(pending)
+            pending = (batch_idx, out)
+        if pending is not None:
+            _flush(pending)
     wall = time.perf_counter() - t_start
 
     if writer is not None:
@@ -171,7 +221,13 @@ def process_video(
         "psnr": records.summary(),
         "stages": timers.summary(),
     }
-    with open(os.path.join(save_path, "summary.json"), "w") as f:
+    if shard is not None:
+        summary["shard"] = {"id": shard_id, "num_shards": num_shards,
+                            "gop_size": gop_size}
+    sum_name = (
+        "summary.json" if shard is None else f"summary.rank{shard_id}.json"
+    )
+    with open(os.path.join(save_path, sum_name), "w") as f:
         json.dump(summary, f, indent=2)
     return summary
 
@@ -180,6 +236,7 @@ def _write_pair_outputs(
     save_path: str,
     idx: int,
     previous: np.ndarray,
+    current: np.ndarray,
     out: Dict[str, np.ndarray],
     writer,
     write_images: bool = True,
@@ -194,12 +251,16 @@ def _write_pair_outputs(
         else:
             write_png(path, img)
 
+    def diff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # host-side twin of ops.metrics.frame_difference (exact int math)
+        return np.abs(a.astype(np.int32) - b.astype(np.int32)).astype(np.uint8)
+
     # Reference naming: frames/compensated keyed by idx-5 (results.py:64-77),
     # diffs and the needle diagram keyed by idx (results.py:86-106).
     emit("frames", str(idx - 5), previous)
     emit("compensated", str(idx - 5), out["compensated"])
-    emit("curr_prev_diff", str(idx), out["diff_curr_prev"])
-    emit("curr_comp_diff", str(idx), out["diff_curr_comp"])
+    emit("curr_prev_diff", str(idx), diff(current, previous))
+    emit("curr_comp_diff", str(idx), diff(current, out["compensated"]))
     needle = draw_motion_field(previous, out["model_motion_field"])
     emit("model_motion_field", str(idx), needle)
 
