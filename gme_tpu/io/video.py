@@ -105,9 +105,21 @@ def get_video_frames(path: str, native: Optional[bool] = None) -> List[np.ndarra
                     raise
         return _parse_y4m(path)
 
+    # Codec formats: native FFmpeg shim first (bit-identical grayscale —
+    # same decoder family + same BT.601 fixed point), cv2 as fallback.
+    if native is not False:
+        try:
+            from gme_tpu.native import loader as native_loader
+
+            if native_loader.codec_available():
+                return native_loader.decode_codec(path)
+        except Exception:
+            if native is True:
+                raise
     if not _HAS_CV2:
         raise RuntimeError(
-            f"decoding {ext} requires OpenCV (decode only); convert to .y4m "
+            f"decoding {ext} requires the native libav runtime "
+            "(python -m gme_tpu.native.build) or OpenCV; convert to .y4m "
             "for the dependency-free path"
         )
     cap = cv2.VideoCapture(path)

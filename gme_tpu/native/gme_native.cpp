@@ -4,6 +4,10 @@
 //  - YUV4MPEG2 (y4m) decode into packed grayscale frame buffers, replacing
 //    the reference's cv2.VideoCapture loop (reference utils.py:9-31) for raw
 //    video without any codec dependency;
+//  - codec (mp4/webm/...) decode via FFmpeg/libav when built with
+//    -DGME_WITH_LIBAV: demux + decode + swscale to BGR24 + the same
+//    fixed-point BT.601 grayscale as cv2.cvtColor — drops the OpenCV
+//    dependency for mp4 ingest (reference utils.py:20-30);
 //  - zlib-backed PNG encoder + a multi-threaded background writer pool,
 //    replacing the reference's cv2.imwrite result streams
 //    (reference results.py:64-106) so image IO overlaps device compute.
@@ -11,6 +15,14 @@
 // Exposed as a plain C ABI consumed via ctypes (gme_tpu/native/loader.py).
 
 #include <zlib.h>
+
+#ifdef GME_WITH_LIBAV
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libswscale/swscale.h>
+}
+#endif
 
 #include <atomic>
 #include <condition_variable>
@@ -283,6 +295,170 @@ int gme_y4m_decode(const char* path, uint8_t* buf, long buf_size) {
   fclose(f);
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Codec decode (FFmpeg/libav) — streaming handle API
+// ---------------------------------------------------------------------------
+
+int gme_codec_available(void) {
+#ifdef GME_WITH_LIBAV
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+#ifdef GME_WITH_LIBAV
+
+struct GmeCodecReader {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* bgr = nullptr;
+  AVPacket* pkt = nullptr;
+  int stream_index = -1;
+  int width = 0, height = 0;
+  bool flushed = false;
+};
+
+void* gme_codec_open(const char* path, int* width, int* height) {
+  auto* r = new GmeCodecReader;
+  if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) goto fail;
+  if (avformat_find_stream_info(r->fmt, nullptr) < 0) goto fail;
+  {
+    const AVCodec* codec = nullptr;
+    r->stream_index =
+        av_find_best_stream(r->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+    if (r->stream_index < 0 || !codec) goto fail;
+    r->dec = avcodec_alloc_context3(codec);
+    if (!r->dec) goto fail;
+    if (avcodec_parameters_to_context(
+            r->dec, r->fmt->streams[r->stream_index]->codecpar) < 0)
+      goto fail;
+    if (avcodec_open2(r->dec, codec, nullptr) < 0) goto fail;
+  }
+  r->width = r->dec->width;
+  r->height = r->dec->height;
+  r->frame = av_frame_alloc();
+  r->bgr = av_frame_alloc();
+  r->pkt = av_packet_alloc();
+  if (!r->frame || !r->bgr || !r->pkt) goto fail;
+  *width = r->width;
+  *height = r->height;
+  return r;
+fail:
+  if (r->pkt) av_packet_free(&r->pkt);
+  if (r->bgr) av_frame_free(&r->bgr);
+  if (r->frame) av_frame_free(&r->frame);
+  if (r->dec) avcodec_free_context(&r->dec);
+  if (r->fmt) avformat_close_input(&r->fmt);
+  delete r;
+  return nullptr;
+}
+
+namespace {
+
+// BGR24 -> gray with OpenCV's BT.601 15-bit fixed point (matches
+// cv2.cvtColor(..., COLOR_BGR2GRAY) and gme_tpu.io.video.bgr_to_gray).
+void bgr_to_gray_row(const uint8_t* src, uint8_t* dst, int w) {
+  for (int x = 0; x < w; ++x) {
+    uint32_t b = src[3 * x], g = src[3 * x + 1], rr = src[3 * x + 2];
+    dst[x] = (uint8_t)((3735u * b + 19235u * g + 9798u * rr + (1u << 14)) >> 15);
+  }
+}
+
+int convert_gray(GmeCodecReader* r, uint8_t* buf) {
+  r->sws = sws_getCachedContext(
+      r->sws, r->width, r->height, (AVPixelFormat)r->frame->format, r->width,
+      r->height, AV_PIX_FMT_BGR24, SWS_BICUBIC, nullptr, nullptr, nullptr);
+  if (!r->sws) return -10;
+  // Honour the stream's YUV matrix and range (swscale defaults to limited-
+  // range BT.601; e.g. pan240.mp4 is BT.709) — required for bit parity
+  // with OpenCV's FFmpeg backend.
+  int cs;
+  switch (r->frame->colorspace) {
+    case AVCOL_SPC_BT709: cs = SWS_CS_ITU709; break;
+    case AVCOL_SPC_FCC: cs = SWS_CS_FCC; break;
+    case AVCOL_SPC_SMPTE240M: cs = SWS_CS_SMPTE240M; break;
+    case AVCOL_SPC_BT2020_NCL: cs = SWS_CS_BT2020; break;
+    default: cs = SWS_CS_DEFAULT; break;
+  }
+  const int src_range = r->frame->color_range == AVCOL_RANGE_JPEG ? 1 : 0;
+  int *inv_tbl, *tbl, sr, dr, brightness, contrast, saturation;
+  if (sws_getColorspaceDetails(r->sws, &inv_tbl, &sr, &tbl, &dr, &brightness,
+                               &contrast, &saturation) >= 0) {
+    sws_setColorspaceDetails(r->sws, sws_getCoefficients(cs), src_range,
+                             sws_getCoefficients(cs), dr, brightness,
+                             contrast, saturation);
+  }
+  std::vector<uint8_t> bgr((size_t)r->width * r->height * 3);
+  uint8_t* dst_data[4] = {bgr.data(), nullptr, nullptr, nullptr};
+  int dst_linesize[4] = {r->width * 3, 0, 0, 0};
+  sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->height,
+            dst_data, dst_linesize);
+  for (int y = 0; y < r->height; ++y) {
+    bgr_to_gray_row(bgr.data() + (size_t)y * r->width * 3,
+                    buf + (size_t)y * r->width, r->width);
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Returns 1 when a frame was written to buf (h*w gray bytes), 0 on EOF,
+// negative on error.
+int gme_codec_read_gray(void* handle, uint8_t* buf) {
+  auto* r = (GmeCodecReader*)handle;
+  for (;;) {
+    int rc = avcodec_receive_frame(r->dec, r->frame);
+    if (rc == 0) {
+      rc = convert_gray(r, buf);
+      av_frame_unref(r->frame);
+      return rc == 0 ? 1 : rc;
+    }
+    if (rc == AVERROR_EOF) return 0;
+    if (rc != AVERROR(EAGAIN)) return -11;
+    // need more input
+    for (;;) {
+      rc = av_read_frame(r->fmt, r->pkt);
+      if (rc < 0) {
+        if (!r->flushed) {
+          avcodec_send_packet(r->dec, nullptr);  // enter drain mode
+          r->flushed = true;
+        }
+        break;
+      }
+      if (r->pkt->stream_index == r->stream_index) {
+        rc = avcodec_send_packet(r->dec, r->pkt);
+        av_packet_unref(r->pkt);
+        if (rc < 0 && rc != AVERROR(EAGAIN)) return -12;
+        break;
+      }
+      av_packet_unref(r->pkt);
+    }
+  }
+}
+
+void gme_codec_close(void* handle) {
+  auto* r = (GmeCodecReader*)handle;
+  if (!r) return;
+  if (r->sws) sws_freeContext(r->sws);
+  av_packet_free(&r->pkt);
+  av_frame_free(&r->bgr);
+  av_frame_free(&r->frame);
+  avcodec_free_context(&r->dec);
+  avformat_close_input(&r->fmt);
+  delete r;
+}
+
+#else  // !GME_WITH_LIBAV
+
+void* gme_codec_open(const char*, int*, int*) { return nullptr; }
+int gme_codec_read_gray(void*, uint8_t*) { return -100; }
+void gme_codec_close(void*) {}
+
+#endif
 
 int gme_write_png(const char* path, const uint8_t* data, int w, int h,
                   int channels, int level) {

@@ -44,6 +44,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
         ]
+        lib.gme_codec_available.restype = ctypes.c_int
+        lib.gme_codec_available.argtypes = []
+        lib.gme_codec_open.restype = ctypes.c_void_p
+        lib.gme_codec_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.gme_codec_read_gray.restype = ctypes.c_int
+        lib.gme_codec_read_gray.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.gme_codec_close.restype = None
+        lib.gme_codec_close.argtypes = [ctypes.c_void_p]
         lib.gme_write_png.restype = ctypes.c_int
         lib.gme_write_png.argtypes = [
             ctypes.c_char_p,
@@ -94,6 +109,40 @@ def decode_y4m(path: str) -> List[np.ndarray]:
     if rc != 0:
         raise ValueError(f"native y4m decode failed ({rc}) for {path}")
     return [buf[i] for i in range(n.value)]
+
+
+def codec_available() -> bool:
+    """True when the library was built with FFmpeg/libav support."""
+    lib = _load()
+    return lib is not None and bool(lib.gme_codec_available())
+
+
+def decode_codec(path: str) -> List[np.ndarray]:
+    """Decode a codec video (mp4/webm/...) to grayscale frames via the
+    native FFmpeg shim — same BT.601 fixed-point grayscale as the cv2
+    path (bit-identical frames)."""
+    lib = _load()
+    assert lib is not None and lib.gme_codec_available()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    handle = lib.gme_codec_open(path.encode(), ctypes.byref(w), ctypes.byref(h))
+    if not handle:
+        raise ValueError(f"native codec open failed for {path}")
+    frames: List[np.ndarray] = []
+    try:
+        while True:
+            buf = np.empty((h.value, w.value), dtype=np.uint8)
+            rc = lib.gme_codec_read_gray(
+                handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            )
+            if rc == 0:
+                break
+            if rc < 0:
+                raise ValueError(f"native codec decode failed ({rc}) for {path}")
+            frames.append(buf)
+    finally:
+        lib.gme_codec_close(handle)
+    return frames
 
 
 def write_png(path: str, img: np.ndarray) -> None:

@@ -81,3 +81,30 @@ def test_psnr_records_roundtrip_and_reference_format(tmp_path):
         json.dump({"5": "(22.724+0j)", "6": "(18.5+0j)"}, f)
     loaded = PSNRRecords.load(path)
     assert abs(loaded["5"] - 22.724) < 1e-9 and abs(loaded["6"] - 18.5) < 1e-9
+
+
+def test_native_codec_decode_matches_cv2():
+    """Native FFmpeg shim == cv2 decode, bit for bit (mp4 ingest without
+    OpenCV — reference utils.py:20-30 was cv2-only)."""
+    import numpy as np
+    import pytest
+
+    from gme_tpu.native import loader
+
+    pan240 = (
+        "/root/reference/global_motion_estimation/resources/videos/pan240.mp4"
+    )
+    import os
+    if not os.path.exists(pan240):
+        pytest.skip("pan240 fixture not present")
+    if not (loader.available() and loader.codec_available()):
+        pytest.skip("native libav runtime not built")
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    from gme_tpu.io.video import get_video_frames
+
+    native = loader.decode_codec(pan240)
+    reference = get_video_frames(pan240, native=False)
+    assert len(native) == len(reference) == 207
+    for a, b in zip(native[:10], reference[:10]):
+        assert np.array_equal(a, b)
