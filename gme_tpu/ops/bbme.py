@@ -650,6 +650,182 @@ def diamond_walk(
     return eval_at(_SDSP, match)  # single SDSP pass (bbme.py:515-529)
 
 
+def diamond_walk_volume(
+    volume: jnp.ndarray,
+    origins: jnp.ndarray,
+    H: int,
+    W: int,
+    block_size: int,
+    radius: int,
+    max_iters: int = 4096,
+) -> jnp.ndarray:
+    """Volume-engine diamond walk as a dense successor map + pointer chase.
+
+    The lockstep walk's per-iteration cost is dominated by gathering 9 LDSP
+    candidate costs per block from the cost volume (XLA lowers gathers
+    element-wise on TPU).  Since every candidate cost is just a volume entry
+    at a *statically shifted* offset, the LDSP argmin can be precomputed for
+    EVERY offset densely — pure VPU work over shifted views, no gathers:
+
+        next[block, o] = offset of the first-minimum LDSP candidate at o
+
+    (with the reference's frame clamps folded in as per-block saturation to
+    boundary rows/columns of the volume).  The walk then chases successor
+    pointers: ONE gathered element per block per iteration instead of nine
+    candidate costs, with the exact same trajectory, clamps, and first-min
+    tie-breaking as `diamond_walk` — bit-identical results.
+
+    Returns the best absolute positions (after the SDSP pass), shaped like
+    `origins`.
+    """
+    bs, R = block_size, radius
+    D = 2 * R + 1
+    lead = origins.shape[:-1]
+    Vg = volume.reshape(lead + (D, D))
+    inf = jnp.float32(jnp.inf)
+
+    g_r = origins[..., 0]
+    g_c = origins[..., 1]
+    # Frame clamp bounds in offset space (reference bbme.py:503-504 clamps
+    # positions to [0, dim - bs - 1]).
+    lo_r = -g_r
+    hi_r = (H - bs - 1) - g_r
+    lo_c = -g_c
+    hi_c = (W - bs - 1) - g_c
+
+    def _grid_idx(b):
+        return (jnp.clip(b, -R, R) + R).astype(jnp.int32)
+
+    # j-independent boundary slices of the volume (tiny gathers, done once):
+    # the row/column a saturated candidate lands on, +inf when that boundary
+    # itself lies outside the volume.
+    def _bnd_row(b):
+        row = jnp.take_along_axis(Vg, _grid_idx(b)[..., None, None], axis=-2)
+        row = row[..., 0, :]  # (lead, D)
+        return jnp.where((jnp.abs(b) <= R)[..., None], row, inf)
+
+    def _bnd_col(b):
+        col = jnp.take_along_axis(Vg, _grid_idx(b)[..., None, None], axis=-1)
+        col = col[..., 0]  # (lead, D)
+        return jnp.where((jnp.abs(b) <= R)[..., None], col, inf)
+
+    row_lo, row_hi = _bnd_row(lo_r), _bnd_row(hi_r)
+    col_lo, col_hi = _bnd_col(lo_c), _bnd_col(hi_c)
+
+    def _corner(row, bc):
+        v = jnp.take_along_axis(row, _grid_idx(bc)[..., None], axis=-1)[..., 0]
+        return jnp.where(jnp.abs(bc) <= R, v, inf)  # (lead,)
+
+    corners = {
+        ("lo", "lo"): _corner(row_lo, lo_c),
+        ("lo", "hi"): _corner(row_lo, hi_c),
+        ("hi", "lo"): _corner(row_hi, lo_c),
+        ("hi", "hi"): _corner(row_hi, hi_c),
+    }
+
+    pad = 2  # max |LDSP offset|
+    Vpad = jnp.pad(Vg, [(0, 0)] * len(lead) + [(pad, pad), (pad, pad)],
+                   constant_values=jnp.inf)
+    o_grid = jnp.arange(-R, R + 1, dtype=jnp.int32)
+
+    def _shift1d(x, s):
+        """x (lead, D) statically shifted by s along the last axis with +inf
+        padding: out[..., i] = x[..., i + s]."""
+        xp = jnp.pad(x, [(0, 0)] * len(lead) + [(pad, pad)],
+                     constant_values=jnp.inf)
+        return lax.slice_in_dim(xp, s + pad, s + pad + D, axis=-1)
+
+    best_cost = None
+    best_succ = None
+    for a, b in _LDSP.tolist():
+        er_raw = o_grid + a  # (D,)
+        er = jnp.clip(er_raw, lo_r[..., None], hi_r[..., None])  # (lead, D)
+        sat_r = er != er_raw
+        in_r = jnp.abs(er) <= R
+        below_r = er_raw < lo_r[..., None]
+        ec_raw = o_grid + b
+        ec = jnp.clip(ec_raw, lo_c[..., None], hi_c[..., None])
+        sat_c = ec != ec_raw
+        in_c = jnp.abs(ec) <= R
+        below_c = ec_raw < lo_c[..., None]
+
+        # Unsaturated value: statically shifted volume view.
+        U = lax.slice(
+            Vpad,
+            (0,) * len(lead) + (a + pad, b + pad),
+            lead + (a + pad + D, b + pad + D),
+        )
+        # Row-saturated: boundary row (lo or hi) shifted along columns by b.
+        row_val = jnp.where(
+            below_r[..., None], _shift1d(row_lo, b)[..., None, :],
+            _shift1d(row_hi, b)[..., None, :],
+        )
+        # Column-saturated: boundary column shifted along rows by a.
+        col_val = jnp.where(
+            below_c[..., None, :],
+            _shift1d(col_lo, a)[..., :, None],
+            _shift1d(col_hi, a)[..., :, None],
+        )
+        # Corner (both axes saturated).
+        c_ll = corners[("lo", "lo")][..., None, None]
+        c_lh = corners[("lo", "hi")][..., None, None]
+        c_hl = corners[("hi", "lo")][..., None, None]
+        c_hh = corners[("hi", "hi")][..., None, None]
+        corner_val = jnp.where(
+            below_r[..., :, None],
+            jnp.where(below_c[..., None, :], c_ll, c_lh),
+            jnp.where(below_c[..., None, :], c_hl, c_hh),
+        )
+
+        sat_r2 = sat_r[..., :, None]
+        sat_c2 = sat_c[..., None, :]
+        cost = jnp.where(
+            sat_r2 & sat_c2, corner_val,
+            jnp.where(sat_r2, row_val, jnp.where(sat_c2, col_val, U)),
+        )
+        cost = jnp.where(
+            (in_r[..., :, None]) & (in_c[..., None, :]), cost, inf
+        )
+        succ = (
+            (er[..., :, None] + R) * D + (ec[..., None, :] + R)
+        ).astype(jnp.int32)
+
+        if best_cost is None:
+            best_cost, best_succ = cost, succ
+        else:
+            take = cost < best_cost  # strict < == first-minimum tie-break
+            best_cost = jnp.where(take, cost, best_cost)
+            best_succ = jnp.where(take, succ, best_succ)
+
+    next_flat = best_succ.reshape(lead + (D * D,))
+    o0 = jnp.full(lead, R * D + R, jnp.int32)
+
+    def body(state):
+        o, _, it = state
+        nxt = jnp.take_along_axis(next_flat, o[..., None], axis=-1)[..., 0]
+        return (nxt, jnp.any(nxt != o), it + 1)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    o, _, _ = lax.while_loop(cond, body, (o0, jnp.bool_(True), jnp.int32(0)))
+
+    match = jnp.stack([g_r + o // D - R, g_c + o % D - R], axis=-1)
+
+    # Single SDSP pass (bbme.py:515-529) through the ordinary evaluator.
+    evaluate = volume_evaluator(volume, origins, R)
+    rmax = H - bs - 1
+    cmax = W - bs - 1
+    pos = match[..., None, :] + _SDSP
+    pos = jnp.stack(
+        [jnp.clip(pos[..., 0], 0, rmax), jnp.clip(pos[..., 1], 0, cmax)],
+        axis=-1,
+    )
+    cost = evaluate(pos, jnp.ones(pos.shape[:-1], dtype=bool))
+    return _take_best(pos, cost)
+
+
 def diamond_search(
     previous: jnp.ndarray,
     current: jnp.ndarray,
@@ -667,17 +843,27 @@ def diamond_search(
     keeps candidates one pixel short of the frame edge, which also shifts the
     *center* candidate of blocks in the last row/column.  `search_window` is
     accepted for API parity and ignored (the reference ignores it too).
+
+    The volume engine uses the dense-successor-map walk
+    (`diamond_walk_volume`); the gather engine uses the direct lockstep walk.
+    Both are bit-identical (asserted in tests).
     """
     del search_window
     H, W = previous.shape
     bs = block_size
     nbh, nbw = _block_grid(H, W, bs)
-
-    evaluate = _make_evaluator(
-        previous, current, bs, pnorm_distance, search_impl, volume_radius
-    )
     origins = _block_origins(nbh, nbw, bs)
-    best = diamond_walk(evaluate, origins, H, W, bs, max_iters)
+
+    if _resolve_impl(search_impl) == "volume":
+        radius = min(volume_radius, max(H, W))
+        volume = compute_cost_volume(previous, current, bs, radius,
+                                     pnorm_distance)
+        best = diamond_walk_volume(volume, origins, H, W, bs, radius,
+                                   max_iters)
+    else:
+        evaluate = _make_gather_evaluator(previous, current, bs,
+                                          pnorm_distance)
+        best = diamond_walk(evaluate, origins, H, W, bs, max_iters)
 
     # Reference bbme.py:531-532: ch1 = row shift, ch0 = col shift.
     return jnp.stack(

@@ -54,8 +54,7 @@ from gme_tpu.ops.affine import (
 from gme_tpu.ops.bbme import (
     _block_grid,
     compute_cost_volume_band,
-    diamond_walk,
-    volume_evaluator,
+    diamond_walk_volume,
 )
 from gme_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
@@ -209,8 +208,7 @@ def banded_diamond_field(
         [jnp.broadcast_to(gi, (Tmax, nbw)), jnp.broadcast_to(gj, (Tmax, nbw))],
         axis=-1,
     )
-    evaluate = volume_evaluator(vol, origins, R)
-    best = diamond_walk(evaluate, origins, H, W, bs, max_iters)
+    best = diamond_walk_volume(vol, origins, H, W, bs, R, max_iters)
 
     field = jnp.stack(
         [best[..., 1] - origins[..., 1], best[..., 0] - origins[..., 0]],

@@ -71,8 +71,10 @@ def _build_step(cfg: PipelineConfig, H: int, W: int):
       (gme_tpu.parallel.spatial).
 
     The returned step outputs only `_TRANSFER_KEYS` (the outer jit dead-code
-    -eliminates the rest of the per-pair dict).
+    -eliminates the rest of the per-pair dict); with `write_images=False`
+    only (parameters, psnr) ever leave the device.
     """
+    keys = _TRANSFER_KEYS if cfg.write_images else ("parameters", "psnr")
     m = cfg.mesh
     if m.data * m.space == 1:
         base = lambda p, c: gme_pipeline_batch(p, c, cfg.gme)  # noqa: E731
@@ -93,7 +95,7 @@ def _build_step(cfg: PipelineConfig, H: int, W: int):
 
             base = make_spatial_pipeline(mesh, cfg.gme, H, W)
     return jax.jit(
-        lambda p, c: {k: v for k, v in base(p, c).items() if k in _TRANSFER_KEYS}
+        lambda p, c: {k: v for k, v in base(p, c).items() if k in keys}
     )
 
 

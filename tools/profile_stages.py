@@ -25,41 +25,60 @@ from gme_tpu.ops.warp import compensate_frame
 
 cfg = GMEConfig()
 rng = np.random.RandomState(0)
-BATCH = 32
+# usage: profile_stages.py [HxW] [batch]   (default 240x320 32)
+_size = sys.argv[1] if len(sys.argv) > 1 else "240x320"
+H, W = (int(t) for t in _size.split("x"))
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 TRIALS = 3
 
 
 def bench(name, fn, make_args):
-    """fn jitted; make_args(i) returns distinct args per trial."""
-    f = jax.jit(fn)
+    """fn jitted; make_args(i) returns distinct args per trial.  fn + a
+    finite-masked sum are fused into ONE jitted program returning a scalar:
+    eager per-op dispatch over the device tunnel costs more than the stage
+    itself, and a scalar is the only transfer."""
+
+    @jax.jit
+    def f_sum(*args):
+        out = fn(*args)
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(
+                jnp.where(jnp.isfinite(x.astype(jnp.float32)),
+                          x.astype(jnp.float32), 0.0)
+            ),
+            out, jnp.float32(0),
+        )
+
     t0 = time.perf_counter()
-    out = f(*make_args(-1))
-    jax.block_until_ready(out)
+    float(f_sum(*make_args(-1)))
     compile_s = time.perf_counter() - t0
     ts = []
     for i in range(TRIALS):
-        args = jax.device_put(make_args(i))
-        jax.block_until_ready(args)
+        args = make_args(i)
         t0 = time.perf_counter()
-        out = f(*args)
-        s = float(jax.tree_util.tree_reduce(
-            lambda a, x: a + jnp.sum(jnp.where(jnp.isfinite(x.astype(jnp.float32)),
-                                               x.astype(jnp.float32), 0.0)),
-            out, jnp.float32(0)))
+        float(f_sum(*args))  # forces the roundtrip inside the timed region
         ts.append(time.perf_counter() - t0)
-        del s
     dt = min(ts)
     print(f"{name:42s} {dt*1e3:9.2f} ms/batch{BATCH}  {dt*1e3/BATCH:7.3f} ms/pair"
-          f"   (compile {compile_s:.0f}s)")
-    return out
+          f"   (compile {compile_s:.0f}s)", flush=True)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _gen(key, shape):
+    a, b = jax.random.split(key)
+    mk = lambda k: jax.random.randint(k, shape, 0, 256, jnp.uint8)  # noqa: E731
+    return mk(a), mk(b)
 
 
 def frames_at(shape, i):
-    r = np.random.RandomState(1000 + i)
-    return (
-        jnp.asarray(r.randint(0, 256, (BATCH,) + shape, np.uint8)),
-        jnp.asarray(r.randint(0, 256, (BATCH,) + shape, np.uint8)),
-    )
+    # Generated ON DEVICE: host->device uploads would dominate over a slow
+    # tunnel and pollute the stage timings.
+    out = _gen(jax.random.PRNGKey(1000 + i), (BATCH,) + shape)
+    jax.block_until_ready(out)
+    return out
 
 
 vb = jax.vmap
@@ -67,16 +86,16 @@ vb = jax.vmap
 bench(
     "pyramids(prev)+pyramids(curr)",
     lambda p, c: (vb(lambda x: get_pyramids(x, 3))(p), vb(lambda x: get_pyramids(x, 3))(c)),
-    lambda i: frames_at((240, 320), i),
+    lambda i: frames_at((H, W), i),
 )
 
 bench(
-    "dense init (60x80 bs2 diamond)",
+    f"dense init ({H//4}x{W//4} bs2 diamond)",
     vb(lambda p, c: M.dense_motion_estimation(p, c, cfg)),
-    lambda i: frames_at((60, 80), i),
+    lambda i: frames_at((H // 4, W // 4), i),
 )
 
-for lvl, shape in ((1, (120, 160)), (2, (240, 320))):
+for lvl, shape in ((1, (H // 2, W // 2)), (2, (H, W))):
     bench(
         f"cost_volume lvl{lvl} R=32 bs16",
         vb(lambda p, c: B.compute_cost_volume(p, c, 16, 32, cfg.pnorm_distance)),
@@ -88,10 +107,10 @@ for lvl, shape in ((1, (120, 160)), (2, (240, 320))):
         lambda i, shape=shape: frames_at(shape, i),
     )
 
-params = bench(
+bench(
     "global_motion_estimation",
     vb(lambda p, c: M.global_motion_estimation(p, c, cfg)),
-    lambda i: frames_at((240, 320), i),
+    lambda i: frames_at((H, W), i),
 )
 
 
@@ -105,11 +124,11 @@ pv = jnp.asarray(rng.rand(BATCH, 6).astype(np.float32))
 bench(
     "affine field + warp",
     vb(tail),
-    lambda i: frames_at((240, 320), i) + (pv + i,),
+    lambda i: frames_at((H, W), i) + (pv + i,),
 )
 
 bench(
     "gme_pipeline_batch (full)",
     lambda p, c: M.gme_pipeline_batch(p, c, cfg),
-    lambda i: frames_at((240, 320), i),
+    lambda i: frames_at((H, W), i),
 )
