@@ -113,6 +113,11 @@ def get_video_frames(path: str, native: Optional[bool] = None) -> List[np.ndarra
 
             if native_loader.codec_available():
                 return native_loader.decode_codec(path)
+            if native is True:  # explicit request must not fall back to cv2
+                raise RuntimeError(
+                    "native=True but the libav codec runtime is not built "
+                    "(python -m gme_tpu.native.build)"
+                )
         except Exception:
             if native is True:
                 raise

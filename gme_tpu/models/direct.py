@@ -213,14 +213,17 @@ def warp_forward(
     yd = jnp.clip(y1.astype(jnp.int32), 0, W - 1)
     # Pack (row-major source rank, pixel value) into one int32 key so that
     # scatter-max selects the highest-rank (= last-written) source pixel.
+    # Scatter-max the row-major source rank alone (exact for any frame under
+    # 2**31 pixels — a packed rank*256+value key would overflow int32 past
+    # ~8.4MP), then gather each destination's winning source value.
     rank = lax.broadcasted_iota(jnp.int32, (H, W), 0) * W + lax.broadcasted_iota(
         jnp.int32, (H, W), 1
     )
+    win = jnp.full((H, W), -1, jnp.int32)
+    win = win.at[xd.reshape(-1), yd.reshape(-1)].max(rank.reshape(-1))
     val = jnp.clip(jnp.round(frame.astype(jnp.float32)), 0, 255).astype(jnp.int32)
-    packed = rank * 256 + val
-    out = jnp.full((H, W), -1, jnp.int32)
-    out = out.at[xd.reshape(-1), yd.reshape(-1)].max(packed.reshape(-1))
-    return jnp.where(out < 0, 0, out % 256).astype(frame.dtype)
+    out = val.reshape(-1)[jnp.clip(win, 0, H * W - 1).reshape(-1)].reshape(H, W)
+    return jnp.where(win < 0, 0, out).astype(frame.dtype)
 
 
 # ---------------------------------------------------------------------------

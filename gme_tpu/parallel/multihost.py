@@ -30,12 +30,33 @@ from gme_tpu.config import PipelineConfig
 from gme_tpu.parallel.mesh import initialize_multihost
 
 
-def merge_rank_records(save_path: str) -> Dict[str, float]:
-    """Merge every psnr_records.rank*.json into the canonical
+def merge_rank_records(
+    save_path: str, num_processes: Optional[int] = None
+) -> Dict[str, float]:
+    """Merge the psnr_records.rank*.json manifests into the canonical
     psnr_records.json (the reference's single-file layout, results.py:
-    109-112).  Returns the merged record dict."""
+    109-112).  Returns the merged record dict.
+
+    With `num_processes`, only ranks 0..num_processes-1 are merged and any
+    other rank manifest in the directory (stale debris from a previous run
+    with a different process count) is an error rather than silently folded
+    into the canonical records.
+    """
+    paths = sorted(glob.glob(os.path.join(save_path, "psnr_records.rank*.json")))
+    if num_processes is not None:
+        expected = {
+            os.path.join(save_path, f"psnr_records.rank{r}.json")
+            for r in range(num_processes)
+        }
+        stale = sorted(set(paths) - expected)
+        if stale:
+            raise RuntimeError(
+                f"stale rank manifests for num_processes={num_processes}: "
+                f"{[os.path.basename(p) for p in stale]} — remove them or "
+                "merge with the matching process count"
+            )
     merged: Dict[str, float] = {}
-    for p in sorted(glob.glob(os.path.join(save_path, "psnr_records.rank*.json"))):
+    for p in paths:
         with open(p) as f:
             merged.update(json.load(f))
     merged = {k: merged[k] for k in sorted(merged, key=int)}
@@ -82,5 +103,5 @@ def process_video_multihost(
         multihost_utils.sync_global_devices("gme_results_done")
     if num_processes > 1 and process_id == 0 and distributed:
         video_name = os.path.splitext(os.path.basename(video_path))[0]
-        merge_rank_records(os.path.join(out_root, video_name))
+        merge_rank_records(os.path.join(out_root, video_name), num_processes)
     return summary

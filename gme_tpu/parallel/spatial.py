@@ -48,6 +48,7 @@ from gme_tpu.config import DIAMOND, GMEConfig
 from gme_tpu.ops.affine import (
     get_motion_field_affine,
     int_moments,
+    moments_fit_ok,
     parameter_projection,
     params_from_moments,
 )
@@ -412,7 +413,9 @@ def spatial_gme_step(
     }
 
 
-def validate_spatial_shapes(H: int, space: int, cfg: GMEConfig) -> None:
+def validate_spatial_shapes(
+    H: int, space: int, cfg: GMEConfig, W: int | None = None
+) -> None:
     """Shape constraints for the spatially-sharded pipeline."""
     div = space * 2 ** (cfg.pyramid_levels - 1)
     if H % div:
@@ -430,6 +433,17 @@ def validate_spatial_shapes(H: int, space: int, cfg: GMEConfig) -> None:
             "the spatially-sharded pipeline implements the GME default "
             "diamond search (reference motion.py:29,50,229)"
         )
+    if W is not None:
+        # `_fit_psum` always takes the exact int32 moment path; apply the
+        # same static overflow bound the single-device `fit_normal_equations`
+        # checks (worst case is the finest level: the full frame).
+        nbh, nbw = _block_grid(H, W, cfg.block_size)
+        if not moments_fit_ok(nbh, nbw, (H, W), cfg.coord_stride):
+            raise ValueError(
+                f"frame {H}x{W} exceeds the exact int32 moment bound of the "
+                "distributed affine fit (moments_fit_ok); use the "
+                "single-device pipeline or a larger block size"
+            )
 
 
 def make_spatial_pipeline(mesh: Mesh, cfg: GMEConfig, H: int, W: int):
@@ -441,7 +455,7 @@ def make_spatial_pipeline(mesh: Mesh, cfg: GMEConfig, H: int, W: int):
     axis shards over space.
     """
     space = mesh.shape[SPACE_AXIS]
-    validate_spatial_shapes(H, space, cfg)
+    validate_spatial_shapes(H, space, cfg, W)
 
     def pair_step(prev_loc, curr_loc):
         return spatial_gme_step(

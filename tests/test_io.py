@@ -108,3 +108,18 @@ def test_native_codec_decode_matches_cv2():
     assert len(native) == len(reference) == 207
     for a, b in zip(native[:10], reference[:10]):
         assert np.array_equal(a, b)
+
+
+def test_native_true_does_not_fall_back_to_cv2(monkeypatch, tmp_path):
+    """native=True must raise when the codec runtime is absent rather than
+    silently decoding with cv2 (ADVICE r2)."""
+    from gme_tpu.native import loader
+
+    monkeypatch.setattr(loader, "codec_available", lambda: False)
+    pan240 = (
+        "/root/reference/global_motion_estimation/resources/videos/pan240.mp4"
+    )
+    if not os.path.exists(pan240):
+        pytest.skip("pan240 fixture not present")
+    with pytest.raises(RuntimeError, match="native=True"):
+        get_video_frames(pan240, native=True)

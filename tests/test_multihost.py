@@ -158,3 +158,17 @@ def test_two_process_jax_distributed(tmp_path):
     )
     assert abs(single["psnr"]["avg"] -
                float(np.mean(list(merged.values())))) < 1e-4
+
+
+def test_merge_rejects_stale_rank_manifests(tmp_path):
+    """A manifest from a previous run with a different process count is an
+    error, not silently merged (ADVICE r2)."""
+    d = tmp_path / "v"
+    d.mkdir()
+    for r in range(3):  # debris: ranks 0..2
+        with open(d / f"psnr_records.rank{r}.json", "w") as f:
+            json.dump({str(r + 1): 20.0 + r}, f)
+    with pytest.raises(RuntimeError, match="stale rank manifests"):
+        merge_rank_records(str(d), num_processes=2)
+    merged = merge_rank_records(str(d), num_processes=3)
+    assert sorted(merged) == ["1", "2", "3"]

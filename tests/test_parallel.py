@@ -154,3 +154,16 @@ def test_process_video_with_mesh(tmp_path, rng):
     )
     assert single["pairs_processed"] == meshed["pairs_processed"]
     assert abs(single["psnr"]["avg"] - meshed["psnr"]["avg"]) < 1e-3
+
+
+def test_spatial_validate_rejects_moment_overflow():
+    """The distributed fit's exact int32 moment path gets the same static
+    overflow guard as the single-device fit (ADVICE r2): a frame past the
+    moment bound must be rejected up front."""
+    from gme_tpu.config import GMEConfig
+    from gme_tpu.parallel.spatial import validate_spatial_shapes
+
+    cfg = GMEConfig()
+    validate_spatial_shapes(720, 2, cfg, W=1280)  # 720p: fine
+    with pytest.raises(ValueError, match="moment bound"):
+        validate_spatial_shapes(4096, 2, cfg, W=4096)
