@@ -650,34 +650,141 @@ def diamond_walk(
     return eval_at(_SDSP, match)  # single SDSP pass (bbme.py:515-529)
 
 
-def diamond_walk_volume(
+def _succ_map_packed(
     volume: jnp.ndarray,
     origins: jnp.ndarray,
     H: int,
     W: int,
     block_size: int,
     radius: int,
-    max_iters: int = 4096,
 ) -> jnp.ndarray:
-    """Volume-engine diamond walk as a dense successor map + pointer chase.
+    """Packed-minimum successor-map builder — the production path.
 
-    The lockstep walk's per-iteration cost is dominated by gathering 9 LDSP
-    candidate costs per block from the cost volume (XLA lowers gathers
-    element-wise on TPU).  Since every candidate cost is just a volume entry
-    at a *statically shifted* offset, the LDSP argmin can be precomputed for
-    EVERY offset densely — pure VPU work over shifted views, no gathers:
+    The select-chain builder (`_succ_map_select`) spends ~12 elementwise
+    passes over the (cells, D, D) volume per LDSP candidate (boundary
+    selects, cost compare, cost select, successor select) — measured VPU-
+    bound at ~7 ms/pair per pyramid level at 720p.  This builder cuts the
+    per-candidate work to TWO passes:
 
-        next[block, o] = offset of the first-minimum LDSP candidate at o
+    1. Build the clamp-extended volume ONCE: Vext[e] for e in [-(R+2), R+2]^2
+       equals V[clip(e, lo, hi)] when the clipped offset lies inside the
+       volume, else +inf — the reference's position clamp to [0, dim-bs-1]
+       (bbme.py:503-504) and the radius mask folded into one tensor, via a
+       row-clamp pass then a column-clamp pass (corners compose exactly).
+    2. Pack cost and candidate rank into ONE int32: packed = cost*16 + k.
+       DFD costs are integers < 2**24 for block sizes <= 16 (the dispatch
+       guard), so the pack is exact and min(packed) implements the strict-<
+       first-minimum tie-break in LDSP order (equal costs -> smaller k wins).
+       Every LDSP candidate is then a statically shifted slice of the packed
+       Vext plus k, and the reduction is a plain jnp.minimum tree.
+    3. Reconstruct the successor offset from the winning rank: the same
+       clamp arithmetic the select builder applies per candidate, applied
+       once.
 
-    (with the reference's frame clamps folded in as per-block saturation to
-    boundary rows/columns of the volume).  The walk then chases successor
-    pointers: ONE gathered element per block per iteration instead of nine
-    candidate costs, with the exact same trajectory, clamps, and first-min
-    tie-breaking as `diamond_walk` — bit-identical results.
-
-    Returns the best absolute positions (after the SDSP pass), shaped like
-    `origins`.
+    Bit-identical to `_succ_map_select` (asserted in tests/test_pallas.py).
     """
+    bs, R = block_size, radius
+    D = 2 * R + 1
+    lead = origins.shape[:-1]
+    nlead = len(lead)
+    Vg = volume.reshape(lead + (D, D))
+    inf = jnp.float32(jnp.inf)
+
+    lo_r = (-origins[..., 0])[..., None, None]  # (lead, 1, 1)
+    hi_r = ((H - bs - 1) - origins[..., 0])[..., None, None]
+    lo_c = (-origins[..., 1])[..., None, None]
+    hi_c = ((W - bs - 1) - origins[..., 1])[..., None, None]
+
+    E = D + 4
+    vpad0 = jnp.pad(
+        Vg, [(0, 0)] * nlead + [(2, 2), (2, 2)], constant_values=jnp.inf
+    )
+    e_r = jnp.arange(E, dtype=jnp.int32).reshape(E, 1) - (R + 2)
+    e_c = jnp.arange(E, dtype=jnp.int32).reshape(1, E) - (R + 2)
+
+    # Row clamp: extended rows outside [lo_r, hi_r] read the boundary row
+    # (+inf when that boundary itself lies outside the volume).
+    def _sel_row(bound):
+        oh = (e_r == bound)[..., :, :]  # (lead, E, 1)
+        row = jnp.sum(jnp.where(oh, vpad0, 0.0), axis=-2, keepdims=True)
+        return jnp.where(jnp.abs(bound) <= R, row, inf)  # (lead, 1, E)
+
+    vr = jnp.where(
+        e_r < lo_r,
+        _sel_row(lo_r),
+        jnp.where(e_r > hi_r, _sel_row(hi_r), vpad0),
+    )
+
+    # Column clamp on the row-clamped tensor (corners compose exactly).
+    def _sel_col(bound):
+        oh = (e_c == bound)[..., :, :]  # (lead, 1, E)
+        col = jnp.sum(jnp.where(oh, vr, 0.0), axis=-1, keepdims=True)
+        return jnp.where(jnp.abs(bound) <= R, col, inf)  # (lead, E, 1)
+
+    vext = jnp.where(
+        e_c < lo_c,
+        _sel_col(lo_c),
+        jnp.where(e_c > hi_c, _sel_col(hi_c), vr),
+    )
+
+    # Pack: costs are exact integers < 2**24 (bs <= 16); +inf saturates to
+    # 2**24, above every real cost.  packed = cost*16 + rank < 2**31.
+    packed_ext = jnp.minimum(vext, jnp.float32(2**24)).astype(jnp.int32) * 16
+
+    best = None
+    for k, (a, b) in enumerate(_LDSP.tolist()):
+        cand = (
+            lax.slice(
+                packed_ext,
+                (0,) * nlead + (a + 2, b + 2),
+                lead + (a + 2 + D, b + 2 + D),
+            )
+            + k
+        )
+        best = cand if best is None else jnp.minimum(best, cand)
+    k_best = best & 15
+
+    # Reconstruct the winning candidate's clamped offset (identical
+    # arithmetic to the per-candidate clamp in _succ_map_select).
+    a_sel = jnp.zeros_like(k_best)
+    b_sel = jnp.zeros_like(k_best)
+    for k, (a, b) in enumerate(_LDSP.tolist()):
+        if k == 0:
+            continue
+        hit = k_best == k
+        a_sel = jnp.where(hit, a, a_sel)
+        b_sel = jnp.where(hit, b, b_sel)
+    o_r = jnp.arange(D, dtype=jnp.int32).reshape(D, 1) - R
+    o_c = jnp.arange(D, dtype=jnp.int32).reshape(1, D) - R
+    er = jnp.clip(o_r + a_sel, lo_r, hi_r)
+    ec = jnp.clip(o_c + b_sel, lo_c, hi_c)
+    succ = (er + R) * D + (ec + R)
+    return succ.reshape(lead + (D * D,)).astype(jnp.int32)
+
+
+def _succ_map(volume, origins, H, W, block_size, radius) -> jnp.ndarray:
+    """Successor-map dispatch: the packed builder whenever the cost*16+rank
+    pack is exact (max DFD = bs^2 * 255^2 must stay below 2**24, i.e.
+    bs <= 16 — every reference configuration), else the select builder."""
+    if block_size * block_size * 255 * 255 < 2**24:
+        return _succ_map_packed(volume, origins, H, W, block_size, radius)
+    return _succ_map_select(volume, origins, H, W, block_size, radius)
+
+
+def _succ_map_select(
+    volume: jnp.ndarray,
+    origins: jnp.ndarray,
+    H: int,
+    W: int,
+    block_size: int,
+    radius: int,
+) -> jnp.ndarray:
+    """Select-chain successor-map builder: per LDSP candidate, a statically
+    shifted view of the volume with the reference's frame clamps folded in
+    as per-block saturation to boundary rows/columns (bbme.py:503-504),
+    reduced by strict-< first-minimum.  Bit-identical to `_succ_map_packed`
+    (asserted in tests) — serves as its verification twin and as the
+    fallback for block sizes too large for the exact pack."""
     bs, R = block_size, radius
     D = 2 * R + 1
     lead = origins.shape[:-1]
@@ -797,7 +904,44 @@ def diamond_walk_volume(
             best_cost = jnp.where(take, cost, best_cost)
             best_succ = jnp.where(take, succ, best_succ)
 
-    next_flat = best_succ.reshape(lead + (D * D,))
+    return best_succ.reshape(lead + (D * D,))
+
+
+def diamond_walk_volume(
+    volume: jnp.ndarray,
+    origins: jnp.ndarray,
+    H: int,
+    W: int,
+    block_size: int,
+    radius: int,
+    max_iters: int = 4096,
+) -> jnp.ndarray:
+    """Volume-engine diamond walk as a dense successor map + pointer chase.
+
+    The lockstep walk's per-iteration cost is dominated by gathering 9 LDSP
+    candidate costs per block from the cost volume (XLA lowers gathers
+    element-wise on TPU).  Since every candidate cost is just a volume entry
+    at a *statically shifted* offset, the LDSP argmin can be precomputed for
+    EVERY offset densely — pure VPU work over shifted views, no gathers:
+
+        next[block, o] = offset of the first-minimum LDSP candidate at o
+
+    (with the reference's frame clamps folded in as per-block saturation to
+    boundary rows/columns of the volume).  The walk then chases successor
+    pointers: ONE gathered element per block per iteration instead of nine
+    candidate costs, with the exact same trajectory, clamps, and first-min
+    tie-breaking as `diamond_walk` — bit-identical results.
+
+    The map is built by `_succ_map` (packed-minimum builder — see
+    `_succ_map_packed`), then chased to a fixed point per block.
+
+    Returns the best absolute positions (after the SDSP pass), shaped like
+    `origins`.
+    """
+    bs, R = block_size, radius
+    D = 2 * R + 1
+    lead = origins.shape[:-1]
+    next_flat = _succ_map(volume, origins, H, W, bs, R)
     o0 = jnp.full(lead, R * D + R, jnp.int32)
 
     def body(state):
@@ -811,7 +955,9 @@ def diamond_walk_volume(
 
     o, _, _ = lax.while_loop(cond, body, (o0, jnp.bool_(True), jnp.int32(0)))
 
-    match = jnp.stack([g_r + o // D - R, g_c + o % D - R], axis=-1)
+    match = jnp.stack(
+        [origins[..., 0] + o // D - R, origins[..., 1] + o % D - R], axis=-1
+    )
 
     # Single SDSP pass (bbme.py:515-529) through the ordinary evaluator.
     evaluate = volume_evaluator(volume, origins, R)

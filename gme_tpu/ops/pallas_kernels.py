@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -222,3 +223,4 @@ def use_pallas() -> bool:
     """Pallas path only on real TPU backends (CPU tests use interpret mode
     explicitly where they want to exercise the kernel)."""
     return jax.default_backend() == "tpu"
+

@@ -86,3 +86,50 @@ def test_exhaustive_pallas_branch_matches(rng, monkeypatch):
     monkeypatch.setattr(bbme, "dfd_cost_volume", interp_kernel)
     got = np.asarray(bbme.exhaustive_search(prev, curr, MAE, bs, sw))
     np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Successor-map builder parity (diamond walk)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("H,W,bs,R", [(48, 64, 16, 6), (20, 28, 2, 5), (40, 40, 8, 12)])
+def test_succ_map_packed_matches_select(rng, H, W, bs, R):
+    """The packed-minimum successor-map builder (production) == the
+    select-chain builder (verification twin), bit for bit, on a real masked
+    cost volume — including frame-border blocks where the reference's
+    position clamps (bbme.py:503-504) saturate candidates."""
+    prev = jnp.asarray(rng.randint(0, 256, (H, W), np.uint8))
+    curr = jnp.asarray(rng.randint(0, 256, (H, W), np.uint8))
+    vol = bbme.compute_cost_volume(prev, curr, bs, R, MSE)
+    nbh, nbw = H // bs, W // bs
+    origins = bbme._block_origins(nbh, nbw, bs)
+
+    want = np.asarray(bbme._succ_map_select(vol, origins, H, W, bs, R))
+    got = np.asarray(bbme._succ_map_packed(vol, origins, H, W, bs, R))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_succ_map_packed_ties_and_inf(rng):
+    """Tie-breaking (strict <, LDSP order) and all-inf blocks behave exactly
+    like the select builder on adversarial volumes: constant volumes (every
+    candidate ties), fully-masked (+inf) volumes, and the maximum
+    representable cost (255^2 * bs^2, the pack-exactness boundary)."""
+    H, W, bs, R = 32, 32, 8, 4
+    nbh, nbw = H // bs, W // bs
+    D = 2 * R + 1
+    origins = bbme._block_origins(nbh, nbw, bs)
+
+    max_cost = float(255 * 255 * bs * bs)
+    for vol in (
+        jnp.zeros((nbh, nbw, D * D), jnp.float32),
+        jnp.full((nbh, nbw, D * D), np.inf, jnp.float32),
+        jnp.full((nbh, nbw, D * D), max_cost, jnp.float32),
+        jnp.asarray(
+            np.random.RandomState(3).choice(
+                [0.0, 1.0, max_cost, np.inf], (nbh, nbw, D * D)
+            ).astype(np.float32)
+        ),
+    ):
+        want = np.asarray(bbme._succ_map_select(vol, origins, H, W, bs, R))
+        got = np.asarray(bbme._succ_map_packed(vol, origins, H, W, bs, R))
+        np.testing.assert_array_equal(got, want)
