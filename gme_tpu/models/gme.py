@@ -35,7 +35,9 @@ from gme_tpu.ops.warp import compensate_frame
 _DEFAULT = GMEConfig()
 
 
-def dense_motion_estimation(previous, current, cfg: GMEConfig = _DEFAULT):
+def dense_motion_estimation(
+    previous, current, cfg: GMEConfig = _DEFAULT, return_diagnostics=False
+):
     """Dense init field: block-2 diamond search (reference motion.py:13-30)."""
     return get_motion_field(
         previous,
@@ -45,6 +47,7 @@ def dense_motion_estimation(previous, current, cfg: GMEConfig = _DEFAULT):
         max_iters=cfg.max_search_iters,
         search_impl=cfg.search_impl,
         volume_radius=cfg.dense_volume_radius,
+        return_diagnostics=return_diagnostics,
     )
 
 
@@ -69,7 +72,8 @@ def best_affine_parameters(previous, current, cfg: GMEConfig = _DEFAULT):
 
 
 def best_affine_parameters_robust(
-    previous, current, old_parameters, cfg: GMEConfig = _DEFAULT
+    previous, current, old_parameters, cfg: GMEConfig = _DEFAULT,
+    return_diagnostics=False,
 ):
     """Robust fit: BBME field -> outlier mask vs old-params affine field ->
     masked normal equations (reference motion.py:210-286)."""
@@ -81,10 +85,17 @@ def best_affine_parameters_robust(
         max_iters=cfg.max_search_iters,
         search_impl=cfg.search_impl,
         volume_radius=cfg.volume_radius,
+        return_diagnostics=return_diagnostics,
     )
+    diag = None
+    if return_diagnostics:
+        gt, diag = gt
     affine_field = get_motion_field_affine(gt.shape[:2], old_parameters)
     inliers = outlier_mask(gt, affine_field, cfg.outlier_fraction)
-    return fit_normal_equations(gt, inliers, previous.shape, cfg.coord_stride)
+    params = fit_normal_equations(gt, inliers, previous.shape, cfg.coord_stride)
+    if return_diagnostics:
+        return params, diag
+    return params
 
 
 def global_motion_estimation(previous, current, cfg: GMEConfig = _DEFAULT):
@@ -96,16 +107,30 @@ def global_motion_estimation(previous, current, cfg: GMEConfig = _DEFAULT):
     Returns:
         (6,) float32 parameters [a0,a1,a2,b0,b1,b2].
     """
+    return global_motion_estimation_with_diagnostics(previous, current, cfg)[0]
+
+
+def global_motion_estimation_with_diagnostics(
+    previous, current, cfg: GMEConfig = _DEFAULT
+):
+    """`global_motion_estimation` plus runtime parity diagnostics: the total
+    `volume_edge_hits` across the dense init and every pyramid level (walks
+    stopped on the volume-radius boundary — see bbme.diamond_walk_volume)."""
     prev_pyr = get_pyramids(previous, cfg.pyramid_levels)
     curr_pyr = get_pyramids(current, cfg.pyramid_levels)
 
-    parameters = first_parameter_estimation(prev_pyr[0], curr_pyr[0], cfg)
+    field, diag = dense_motion_estimation(
+        prev_pyr[0], curr_pyr[0], cfg, return_diagnostics=True
+    )
+    edge_hits = diag["volume_edge_hits"]
+    parameters = compute_first_parameters(field)
     for i in range(1, cfg.pyramid_levels):
         parameters = parameter_projection(parameters)
-        parameters = best_affine_parameters_robust(
-            prev_pyr[i], curr_pyr[i], parameters, cfg
+        parameters, diag = best_affine_parameters_robust(
+            prev_pyr[i], curr_pyr[i], parameters, cfg, return_diagnostics=True
         )
-    return parameters
+        edge_hits = edge_hits + diag["volume_edge_hits"]
+    return parameters, {"volume_edge_hits": edge_hits}
 
 
 def motion_compensation(previous, current, cfg: GMEConfig = _DEFAULT):
@@ -124,7 +149,9 @@ def gme_pipeline_step(
 
     jit/vmap-friendly: all outputs are arrays of static shape.
     """
-    parameters = global_motion_estimation(previous, current, cfg)
+    parameters, diag = global_motion_estimation_with_diagnostics(
+        previous, current, cfg
+    )
     shape = (previous.shape[0] // cfg.block_size, previous.shape[1] // cfg.block_size)
     model_motion_field = get_motion_field_affine(shape, parameters)
     compensated = compensate_frame(previous, model_motion_field)
@@ -135,6 +162,7 @@ def gme_pipeline_step(
         "diff_curr_prev": frame_difference(current, previous),
         "diff_curr_comp": frame_difference(current, compensated),
         "psnr": psnr(current, compensated),
+        "volume_edge_hits": diag["volume_edge_hits"],
     }
 
 

@@ -660,6 +660,14 @@ def _succ_map_packed(
 ) -> jnp.ndarray:
     """Packed-minimum successor-map builder — the production path.
 
+    Returns the (lead, D*D) **int8 rank map**: entry [cell, o] is the index
+    k into `_LDSP` of the first-minimum LDSP candidate when the walk for
+    `cell` sits at volume offset `o`.  The chase (`diamond_walk_volume`)
+    decodes ranks back to offsets with the same clamp arithmetic the
+    reference applies per candidate (bbme.py:503-504) — storing 1-byte ranks
+    instead of 4-byte flat offsets quarters the map's HBM footprint, and the
+    chase re-reads the whole map every iteration (measured HBM-bound).
+
     The select-chain builder (`_succ_map_select`) spends ~12 elementwise
     passes over the (cells, D, D) volume per LDSP candidate (boundary
     selects, cost compare, cost select, successor select) — measured VPU-
@@ -677,9 +685,6 @@ def _succ_map_packed(
        first-minimum tie-break in LDSP order (equal costs -> smaller k wins).
        Every LDSP candidate is then a statically shifted slice of the packed
        Vext plus k, and the reduction is a plain jnp.minimum tree.
-    3. Reconstruct the successor offset from the winning rank: the same
-       clamp arithmetic the select builder applies per candidate, applied
-       once.
 
     Bit-identical to `_succ_map_select` (asserted in tests/test_pallas.py).
     """
@@ -743,23 +748,7 @@ def _succ_map_packed(
         )
         best = cand if best is None else jnp.minimum(best, cand)
     k_best = best & 15
-
-    # Reconstruct the winning candidate's clamped offset (identical
-    # arithmetic to the per-candidate clamp in _succ_map_select).
-    a_sel = jnp.zeros_like(k_best)
-    b_sel = jnp.zeros_like(k_best)
-    for k, (a, b) in enumerate(_LDSP.tolist()):
-        if k == 0:
-            continue
-        hit = k_best == k
-        a_sel = jnp.where(hit, a, a_sel)
-        b_sel = jnp.where(hit, b, b_sel)
-    o_r = jnp.arange(D, dtype=jnp.int32).reshape(D, 1) - R
-    o_c = jnp.arange(D, dtype=jnp.int32).reshape(1, D) - R
-    er = jnp.clip(o_r + a_sel, lo_r, hi_r)
-    ec = jnp.clip(o_c + b_sel, lo_c, hi_c)
-    succ = (er + R) * D + (ec + R)
-    return succ.reshape(lead + (D * D,)).astype(jnp.int32)
+    return k_best.reshape(lead + (D * D,)).astype(jnp.int8)
 
 
 def _succ_map(volume, origins, H, W, block_size, radius) -> jnp.ndarray:
@@ -782,9 +771,10 @@ def _succ_map_select(
     """Select-chain successor-map builder: per LDSP candidate, a statically
     shifted view of the volume with the reference's frame clamps folded in
     as per-block saturation to boundary rows/columns (bbme.py:503-504),
-    reduced by strict-< first-minimum.  Bit-identical to `_succ_map_packed`
-    (asserted in tests) — serves as its verification twin and as the
-    fallback for block sizes too large for the exact pack."""
+    reduced by strict-< first-minimum into the (lead, D*D) int8 rank map
+    (see `_succ_map_packed` for the rank-map contract).  Bit-identical to
+    `_succ_map_packed` (asserted in tests) — serves as its verification twin
+    and as the fallback for block sizes too large for the exact pack."""
     bs, R = block_size, radius
     D = 2 * R + 1
     lead = origins.shape[:-1]
@@ -843,8 +833,8 @@ def _succ_map_select(
         return lax.slice_in_dim(xp, s + pad, s + pad + D, axis=-1)
 
     best_cost = None
-    best_succ = None
-    for a, b in _LDSP.tolist():
+    best_k = None
+    for k, (a, b) in enumerate(_LDSP.tolist()):
         er_raw = o_grid + a  # (D,)
         er = jnp.clip(er_raw, lo_r[..., None], hi_r[..., None])  # (lead, D)
         sat_r = er != er_raw
@@ -893,18 +883,16 @@ def _succ_map_select(
         cost = jnp.where(
             (in_r[..., :, None]) & (in_c[..., None, :]), cost, inf
         )
-        succ = (
-            (er[..., :, None] + R) * D + (ec[..., None, :] + R)
-        ).astype(jnp.int32)
 
         if best_cost is None:
-            best_cost, best_succ = cost, succ
+            best_cost = cost
+            best_k = jnp.zeros(cost.shape, jnp.int8)
         else:
             take = cost < best_cost  # strict < == first-minimum tie-break
             best_cost = jnp.where(take, cost, best_cost)
-            best_succ = jnp.where(take, succ, best_succ)
+            best_k = jnp.where(take, jnp.int8(k), best_k)
 
-    return best_succ.reshape(lead + (D * D,))
+    return best_k.reshape(lead + (D * D,))
 
 
 def diamond_walk_volume(
@@ -915,6 +903,8 @@ def diamond_walk_volume(
     block_size: int,
     radius: int,
     max_iters: int = 4096,
+    with_diagnostics: bool = False,
+    count_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Volume-engine diamond walk as a dense successor map + pointer chase.
 
@@ -936,17 +926,40 @@ def diamond_walk_volume(
     `_succ_map_packed`), then chased to a fixed point per block.
 
     Returns the best absolute positions (after the SDSP pass), shaped like
-    `origins`.
+    `origins`.  With ``with_diagnostics=True`` also returns the number of
+    walks whose fixpoint sits on the volume boundary (max |offset| >= R) —
+    the runtime detector for the volume-radius approximation (the reference
+    walk is unbounded within frame clamps, bbme.py:494-513; a walk stopped
+    by the ±R window instead of a true local minimum always ends on the
+    boundary, so a zero count certifies parity and a nonzero count flags
+    possibly-clamped blocks).
     """
     bs, R = block_size, radius
     D = 2 * R + 1
     lead = origins.shape[:-1]
-    next_flat = _succ_map(volume, origins, H, W, bs, R)
+    rank_map = _succ_map(volume, origins, H, W, bs, R)  # (lead, D*D) int8
     o0 = jnp.full(lead, R * D + R, jnp.int32)
+
+    # Rank decode: the same per-candidate clamp arithmetic the builders fold
+    # into their cost composition (reference bbme.py:503-504), applied to the
+    # winning rank only.  lo/hi are per-cell frame-clamp bounds in offset
+    # space; rank 0 decodes to clip(o, lo, hi) == o for any reachable o.
+    lo_r = -origins[..., 0]
+    hi_r = (H - bs - 1) - origins[..., 0]
+    lo_c = -origins[..., 1]
+    hi_c = (W - bs - 1) - origins[..., 1]
+    ldsp_a = jnp.asarray(_LDSP[:, 0])
+    ldsp_b = jnp.asarray(_LDSP[:, 1])
 
     def body(state):
         o, _, it = state
-        nxt = jnp.take_along_axis(next_flat, o[..., None], axis=-1)[..., 0]
+        k = jnp.take_along_axis(rank_map, o[..., None], axis=-1)[..., 0]
+        k = k.astype(jnp.int32)
+        a = jnp.take(ldsp_a, k)
+        b = jnp.take(ldsp_b, k)
+        er = jnp.clip(o // D - R + a, lo_r, hi_r)
+        ec = jnp.clip(o % D - R + b, lo_c, hi_c)
+        nxt = (er + R) * D + (ec + R)
         return (nxt, jnp.any(nxt != o), it + 1)
 
     def cond(state):
@@ -958,6 +971,11 @@ def diamond_walk_volume(
     match = jnp.stack(
         [origins[..., 0] + o // D - R, origins[..., 1] + o % D - R], axis=-1
     )
+    if with_diagnostics:
+        edge = jnp.maximum(jnp.abs(o // D - R), jnp.abs(o % D - R)) >= R
+        if count_mask is not None:
+            edge = edge & count_mask
+        edge_hits = jnp.sum(edge.astype(jnp.int32))
 
     # Single SDSP pass (bbme.py:515-529) through the ordinary evaluator.
     evaluate = volume_evaluator(volume, origins, R)
@@ -969,7 +987,10 @@ def diamond_walk_volume(
         axis=-1,
     )
     cost = evaluate(pos, jnp.ones(pos.shape[:-1], dtype=bool))
-    return _take_best(pos, cost)
+    best = _take_best(pos, cost)
+    if with_diagnostics:
+        return best, edge_hits
+    return best
 
 
 def diamond_search(
@@ -981,6 +1002,7 @@ def diamond_search(
     max_iters: int = 4096,
     search_impl: str = "auto",
     volume_radius: int = 32,
+    return_diagnostics: bool = False,
 ) -> jnp.ndarray:
     """Large-diamond loop until the center wins, then one small-diamond pass.
 
@@ -1000,21 +1022,27 @@ def diamond_search(
     nbh, nbw = _block_grid(H, W, bs)
     origins = _block_origins(nbh, nbw, bs)
 
+    edge_hits = jnp.int32(0)  # gather engine walks are unbounded — no clamp
     if _resolve_impl(search_impl) == "volume":
         radius = min(volume_radius, max(H, W))
         volume = compute_cost_volume(previous, current, bs, radius,
                                      pnorm_distance)
-        best = diamond_walk_volume(volume, origins, H, W, bs, radius,
-                                   max_iters)
+        best, edge_hits = diamond_walk_volume(
+            volume, origins, H, W, bs, radius, max_iters,
+            with_diagnostics=True,
+        )
     else:
         evaluate = _make_gather_evaluator(previous, current, bs,
                                           pnorm_distance)
         best = diamond_walk(evaluate, origins, H, W, bs, max_iters)
 
     # Reference bbme.py:531-532: ch1 = row shift, ch0 = col shift.
-    return jnp.stack(
+    field = jnp.stack(
         [best[..., 1] - origins[..., 1], best[..., 0] - origins[..., 0]], axis=-1
     ).astype(jnp.int32)
+    if return_diagnostics:
+        return field, {"volume_edge_hits": edge_hits}
+    return field
 
 
 # ---------------------------------------------------------------------------
@@ -1031,33 +1059,49 @@ def get_motion_field(
     max_iters: int = 4096,
     search_impl: str = "auto",
     volume_radius: int = 32,
+    return_diagnostics: bool = False,
 ) -> jnp.ndarray:
     """Compute the (H//bs, W//bs, 2) int32 motion field between two frames.
 
     Signature and defaults mirror reference bbme.py:12-19; procedure indices
     {0: exhaustive, 1: three-step, 2: 2D-log, 3: diamond} mirror the
     reference dispatch table (bbme.py:609-614).
+
+    With ``return_diagnostics=True`` also returns a dict of runtime parity
+    diagnostics: ``volume_edge_hits`` counts diamond walks stopped on the
+    volume-radius boundary (0 for searches whose displacement is statically
+    bounded and for the unbounded gather engine).
     """
     if searching_procedure == EXHAUSTIVE:
-        return exhaustive_search(
+        field = exhaustive_search(
             previous, current, pnorm_distance, block_size, search_window
         )
-    if searching_procedure == THREESTEP:
-        return threestep_search(
+    elif searching_procedure == THREESTEP:
+        field = threestep_search(
             previous, current, pnorm_distance, block_size, search_window,
             search_impl,
         )
-    if searching_procedure == TWODLOG:
-        return twodlog_search(
+    elif searching_procedure == TWODLOG:
+        field = twodlog_search(
             previous, current, pnorm_distance, block_size, search_window,
             max_iters, search_impl, volume_radius,
         )
-    if searching_procedure == DIAMOND:
-        return diamond_search(
+    elif searching_procedure == DIAMOND:
+        if return_diagnostics:
+            return diamond_search(
+                previous, current, pnorm_distance, block_size, search_window,
+                max_iters, search_impl, volume_radius,
+                return_diagnostics=True,
+            )
+        field = diamond_search(
             previous, current, pnorm_distance, block_size, search_window,
             max_iters, search_impl, volume_radius,
         )
-    raise ValueError(f"unknown searching procedure {searching_procedure}")
+    else:
+        raise ValueError(f"unknown searching procedure {searching_procedure}")
+    if return_diagnostics:
+        return field, {"volume_edge_hits": jnp.int32(0)}
+    return field
 
 
 @partial(

@@ -36,7 +36,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -69,6 +68,33 @@ def _exact_dot(a, b):
     )
 
 
+def _cross_volume_kernel(prev_ref, win_ref, out_ref, t_ref, *, bs, D, T, nbw):
+    """Cross-correlation volume kernel — the MSE-decomposition hot loop.
+
+    Identical structure to `_cost_volume_kernel` but computes
+    ``cross[dr, dc, t, j] = sum_block prev * window`` (ONE multiply per
+    element instead of subtract + square): with uint8-valued frames,
+    ``sum (a-b)^2 = sum a^2 - 2*sum a*b + sum b^2`` where the squared terms
+    are offset-independent (computed once by XLA box sums in
+    `_dfd_cost_volume_mse_decomp`), so only the cross term pays the D^2
+    elementwise sweep.  All sums are integers < 2**24 (bs <= 16 dispatch
+    guard): exact in f32 and under the HIGHEST-precision pooling matmul.
+    """
+    Wc = nbw * bs
+    sr, sc = _pool_matrices(T, nbw, bs)
+    prev = prev_ref[...]  # (T*bs, Wc)
+    rows = win_ref[0]  # (T*bs, Wc + D - 1)
+    for dc in range(D):
+        prod = rows[:, dc : dc + Wc] * prev
+        if bs < 8:
+            t_ref[dc * T : (dc + 1) * T, :] = _exact_dot(sr, prod)
+        else:
+            t_ref[dc * T : (dc + 1) * T, :] = prod.reshape(T, bs, Wc).sum(
+                axis=1
+            )
+    out_ref[0, 0] = _exact_dot(t_ref[...], sc)
+
+
 def _cost_volume_kernel(
     prev_ref, win_ref, out_ref, t_ref, *, bs, D, pnorm, T, nbw
 ):
@@ -97,6 +123,252 @@ def _cost_volume_kernel(
     # array fed; a per-dc (T, Wc) @ (Wc, nbw) dot would run at T/128
     # utilization).
     out_ref[0, 0] = _exact_dot(t_ref[...], sc)
+
+
+def _planes_kernel(
+    prev_ref, win_ref, out_ref, t_ref, *, bs, D, pnorm, T, nbw, G, PR8
+):
+    """Chunked cost-volume kernel for sub-tile block edges (bs < 8): G row
+    offsets per grid step, with rows pre-split into bs residue planes so the
+    per-offset row pool is a sum of bs *aligned* full-tile plane diffs.
+
+    Motivation (measured on v5e): the one-offset-per-step kernel pays a fixed
+    ~5-10us grid-step cost, which dominates at small frames — the dense bs=2
+    init at 720p (180x320, D=33) ran 1056 grid steps per 8-pair batch
+    (~10.7 ms/pair) against a ~0.3 ms/pair VPU floor.  Chunking G=8 offsets
+    per step cuts the step count 8x; the plane split keeps every access
+    tile-aligned (a direct ``win[g:g+T*bs]`` slice at g % 8 != 0 lowers to
+    masked sublane rotates that measured SLOWER than the unchunked kernel).
+
+    Row-offset math (G % bs == 0 so chunk bases land on plane boundaries):
+    for row offset dr = c*G + g, prev plane p pairs with curr plane
+    u = (g+p) % bs at plane-row base (g+p)//bs within this chunk's window.
+    """
+    Wc = nbw * bs
+    _, sc = _pool_matrices(T, nbw, bs)
+    prev = prev_ref[0]  # (bs*T, Wc): plane p at rows [p*T, (p+1)*T)
+    win = win_ref[0, 0]  # (bs*PR8, Wp): plane u at rows [u*PR8, (u+1)*PR8)
+    for g in range(G):
+        planes = []
+        for p in range(bs):
+            u = (g + p) % bs
+            base = (g + p) // bs
+            planes.append(
+                (
+                    win[u * PR8 + base : u * PR8 + base + T, :],
+                    prev[p * T : (p + 1) * T, :],
+                )
+            )
+        for dc in range(D):
+            acc = None
+            for wp, pp in planes:
+                diff = wp[:, dc : dc + Wc] - pp
+                per_px = jnp.abs(diff) if pnorm == MAE else diff * diff
+                acc = per_px if acc is None else acc + per_px
+            t_ref[dc * T : (dc + 1) * T, :] = acc
+        out_ref[0, 0, g * D * T : (g + 1) * D * T, :] = _exact_dot(
+            t_ref[...], sc
+        )
+
+
+_PLANES_VMEM_LIMIT = 64 * 2**20
+
+
+def _pick_plane_tile(nbh8: int, bs: int, G: int, Wc: int, D: int, nbw: int) -> int:
+    """Largest 8-aligned block-row tile T for the planes kernel under the
+    VMEM budget (double-buffered prev/window/out blocks + scratch).
+
+    Mosaic gives the unrolled per-(g, dc) temporaries distinct stack slots
+    (measured ~2.3x the accounted block+scratch bytes at bs=2), so the
+    accounted budget is ~1/3 of `_PLANES_VMEM_LIMIT` (the kernel raises the
+    scoped limit via CompilerParams — v5e VMEM is 128 MiB)."""
+    budget = 20 * 2**20
+    Wp = Wc + D - 1
+    T = 8
+    for cand in range(8, nbh8 + 8, 8):
+        PR8 = _round8(cand + G // bs + 1)
+        vmem = 4 * (
+            2 * bs * cand * Wc  # prev planes block, double-buffered
+            + 2 * bs * PR8 * Wp  # window planes block
+            + 2 * G * D * cand * nbw  # out block
+            + D * cand * Wc  # scratch
+        )
+        if vmem <= budget:
+            T = cand
+        else:
+            break
+    return min(T, nbh8)
+
+
+def _dfd_cost_volume_planes(
+    prev_crop: jnp.ndarray,
+    curr_pad: jnp.ndarray,
+    bs: int,
+    D: int,
+    pnorm: int,
+    G: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Chunked planes path of `dfd_cost_volume` (bs < 8, 8 % bs == 0).
+
+    XLA-side prep: split curr rows into bs residue planes (plane u = rows
+    u, u+bs, ...), then stack per-(chunk, tile) windows so every kernel
+    access is a static aligned slice.  Bit-identical to the unchunked
+    kernel and the XLA/NumPy oracles (tests/test_pallas.py)."""
+    Hc, Wc = prev_crop.shape
+    nbh, nbw = Hc // bs, Wc // bs
+    nbh8 = _round8(nbh)
+    T = _pick_plane_tile(nbh8, bs, G, Wc, D, nbw)
+    num_tiles = -(-nbh8 // T)
+    nbhp = num_tiles * T
+    Hp = nbhp * bs
+    Dc = -(-D // G)
+    Wp = Wc + D - 1
+    prev_p = jnp.pad(prev_crop.astype(jnp.float32), ((0, Hp - Hc), (0, 0)))
+    PR8 = _round8(T + G // bs + 1)
+    # Plane u of curr holds rows u, u+bs, ...; chunk c tile rt reads plane
+    # rows [rt*T + c*(G//bs), rt*T + c*(G//bs) + PR8).
+    max_plane_rows = (num_tiles - 1) * T + (Dc - 1) * (G // bs) + PR8
+    curr_f = jnp.pad(
+        curr_pad.astype(jnp.float32),
+        ((0, max(0, max_plane_rows * bs + bs - curr_pad.shape[0])), (0, 0)),
+    )
+    planes = [curr_f[u::bs] for u in range(bs)]
+    wchunks = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.concatenate(
+                        [
+                            planes[u][
+                                rt * T + c * (G // bs) : rt * T + c * (G // bs) + PR8
+                            ]
+                            for u in range(bs)
+                        ],
+                        axis=0,
+                    )
+                    for rt in range(num_tiles)
+                ]
+            )
+            for c in range(Dc)
+        ]
+    )  # (Dc, tiles, bs*PR8, Wp)
+    # Prev planes: (tiles, bs*T, Wc) with plane p at rows [p*T, (p+1)*T).
+    prev_arr = (
+        prev_p.reshape(num_tiles, T, bs, Wc)
+        .transpose(0, 2, 1, 3)
+        .reshape(num_tiles, bs * T, Wc)
+    )
+    kernel = functools.partial(
+        _planes_kernel, bs=bs, D=D, pnorm=pnorm, T=T, nbw=nbw, G=G, PR8=PR8
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_tiles, Dc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bs * T, Wc), lambda rt, c: (rt, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, bs * PR8, Wp),
+                lambda rt, c: (c, rt, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G * D * T, nbw),
+            lambda rt, c: (c, rt, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (Dc, num_tiles, G * D * T, nbw), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((D * T, Wc), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PLANES_VMEM_LIMIT
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * D * D * Hp * Wc,
+            bytes_accessed=4 * (Hp * Wc + D * Hp * Wp + D * D * nbh * nbw),
+            transcendentals=0,
+        ),
+    )(prev_arr, wchunks)
+    # (Dc, tiles, G*D*T, nbw) -> (Dc, G, D, tiles, T, nbw) -> crop padding.
+    out = out.reshape(Dc, num_tiles, G, D, T, nbw).transpose(0, 2, 3, 1, 4, 5)
+    return out.reshape(Dc * G, D, nbhp, nbw)[:D, :, :nbh, :]
+
+
+def _box_sum(x: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
+    """Sliding-window sum of width n along `axis` via log-tree shifted adds:
+    out[i] = sum_{k<n} x[i+k], output length = len - n + 1.  Integer-valued
+    f32 inputs stay exact while partial sums remain < 2**24."""
+    sums = {1: x}
+    p = 1
+    while 2 * p <= n:
+        prev = sums[p]
+        L = prev.shape[axis]
+        sums[2 * p] = jax.lax.slice_in_dim(
+            prev, 0, L - p, axis=axis
+        ) + jax.lax.slice_in_dim(prev, p, L, axis=axis)
+        p *= 2
+    out = None
+    off = 0
+    Lout = x.shape[axis] - n + 1
+    while p >= 1:
+        if n & p:
+            part = jax.lax.slice_in_dim(sums[p], off, off + Lout, axis=axis)
+            out = part if out is None else out + part
+            off += p
+        p //= 2
+    return out
+
+
+def _dfd_cost_volume_mse_decomp(
+    prev_crop: jnp.ndarray,
+    curr_pad: jnp.ndarray,
+    bs: int,
+    D: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """MSE volume via the cross-correlation decomposition (bs in [8, 16]).
+
+    sum_block (a - b)^2 = sum a^2 - 2 sum a*b + sum b^2 with a = the shifted
+    current-frame block and b = the anchor block: only the cross term
+    depends on the offset per pixel, so the D^2 elementwise sweep (the
+    framework's single hottest loop, reference bbme.py:41-94) drops from
+    subtract+square to ONE multiply per element.  The squared terms are
+    offset-independent: sum b^2 is one block pooling of prev^2, and
+    sum a^2 at offset (dr, dc) is a sliding box sum of curr^2 evaluated at
+    (t*bs+dr, j*bs+dc) — computed once over the padded frame by `_box_sum`
+    log-trees and relayouted into volume layout with strided slices.
+
+    Exactness: frames are uint8-valued, so every term is an integer —
+    products <= 255^2, box/cross sums <= bs^2 * 255^2 < 2**24 (dispatch
+    guard), and the final combine's intermediates stay < 2**25 — all exactly
+    representable in f32.  Bit-identical to the direct kernels and the
+    XLA/NumPy oracles (tests/test_pallas.py).
+    """
+    Hc, Wc = prev_crop.shape
+    nbh, nbw = Hc // bs, Wc // bs
+    prev_f = prev_crop.astype(jnp.float32)
+    curr_f = curr_pad.astype(jnp.float32)
+
+    # Offset-independent terms.
+    sb = (prev_f * prev_f).reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))
+    sa_full = _box_sum(_box_sum(curr_f * curr_f, bs, 0), bs, 1)
+    # Relayout to volume layout: SA[dr, dc, t, j] = sa_full[t*bs+dr, j*bs+dc].
+    sa_rows = jnp.stack(
+        [sa_full[dr :: bs][:nbh] for dr in range(D)]
+    )  # (D, nbh, Wfull)
+    sa_vol = jnp.stack(
+        [sa_rows[:, :, dc :: bs][..., :nbw] for dc in range(D)], axis=1
+    )  # (D, D, nbh, nbw)
+
+    cross = _dfd_cost_volume_rowoffset(
+        prev_f, curr_f, bs, D, MSE, interpret, cross=True
+    )
+    return sa_vol - 2.0 * cross + sb[None, None]
 
 
 def _pick_tile_rows(nbh8: int, bs: int, Wc: int, D: int, nbw: int) -> int:
@@ -163,6 +435,38 @@ def dfd_cost_volume(
         curr_pad.shape,
         (Hc + D - 1, Wc + D - 1),
     )
+    if bs < 8 and 8 % bs == 0 and D >= 8:
+        # Sub-tile block edges: the chunked planes kernel (8 row offsets per
+        # grid step, aligned plane slices) — the one-offset-per-step kernel's
+        # fixed grid-step cost dominates at these shapes.
+        return _dfd_cost_volume_planes(
+            prev_crop, curr_pad, bs, D, pnorm, 8, interpret
+        )
+    if pnorm == MSE and bs >= 8 and bs * bs * 255 * 255 < 2**24 and D >= 8:
+        # MSE cross-correlation decomposition: 1 multiply/element in the
+        # D^2 sweep instead of subtract+square (exact — see the docstring).
+        return _dfd_cost_volume_mse_decomp(
+            prev_crop, curr_pad, bs, D, interpret
+        )
+    return _dfd_cost_volume_rowoffset(
+        prev_crop, curr_pad, bs, D, pnorm, interpret
+    )
+
+
+def _dfd_cost_volume_rowoffset(
+    prev_crop: jnp.ndarray,
+    curr_pad: jnp.ndarray,
+    bs: int,
+    D: int,
+    pnorm: int,
+    interpret: bool,
+    cross: bool = False,
+) -> jnp.ndarray:
+    """One-row-offset-per-grid-step kernel (the bs >= 8 path).  With
+    ``cross=True`` the kernel computes the block cross-correlation volume
+    (`_cross_volume_kernel`) instead of the DFD."""
+    Hc, Wc = prev_crop.shape
+    nbh, nbw = Hc // bs, Wc // bs
     # Tile the block rows: T block rows per grid step, T chosen so the VMEM
     # working set fits the scoped limit at any frame size (720p+ included).
     # Padded blocks (zero rows in BOTH frames) produce exactly-zero pooled
@@ -182,9 +486,14 @@ def dfd_cost_volume(
     # a block-aligned slice the BlockSpec below can address directly.
     windows = jnp.stack([curr_f[dr : dr + Hp] for dr in range(D)])
 
-    kernel = functools.partial(
-        _cost_volume_kernel, bs=bs, D=D, pnorm=pnorm, T=T, nbw=nbw
-    )
+    if cross:
+        kernel = functools.partial(
+            _cross_volume_kernel, bs=bs, D=D, T=T, nbw=nbw
+        )
+    else:
+        kernel = functools.partial(
+            _cost_volume_kernel, bs=bs, D=D, pnorm=pnorm, T=T, nbw=nbw
+        )
     # Grid order (rt, dr): dr fastest, so the prev block (a function of rt
     # only) is DMA'd once per tile and reused across all D row offsets.
     out = pl.pallas_call(

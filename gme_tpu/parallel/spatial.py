@@ -168,9 +168,11 @@ def banded_diamond_field(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Diamond-search motion field for this shard's block rows.
 
-    Returns (field (Tmax, nbw, 2) int32, valid (Tmax,) bool, gb0 scalar).
-    Channel conventions and walk semantics identical to the single-device
-    `diamond_search` (volume engine).
+    Returns (field (Tmax, nbw, 2) int32, valid (Tmax,) bool, gb0 scalar,
+    edge_hits scalar int32 — this shard's count of walks stopped on the
+    volume-radius boundary, masked to valid rows; see
+    bbme.diamond_walk_volume).  Channel conventions and walk semantics
+    identical to the single-device `diamond_search` (volume engine).
     """
     lh = prev_band.shape[0]
     nbh, nbw = _block_grid(H, W, bs)
@@ -209,13 +211,17 @@ def banded_diamond_field(
         [jnp.broadcast_to(gi, (Tmax, nbw)), jnp.broadcast_to(gj, (Tmax, nbw))],
         axis=-1,
     )
-    best = diamond_walk_volume(vol, origins, H, W, bs, R, max_iters)
+    best, edge_hits = diamond_walk_volume(
+        vol, origins, H, W, bs, R, max_iters,
+        with_diagnostics=True,
+        count_mask=jnp.broadcast_to(valid_t[:, None], (Tmax, nbw)),
+    )
 
     field = jnp.stack(
         [best[..., 1] - origins[..., 1], best[..., 0] - origins[..., 0]],
         axis=-1,
     ).astype(jnp.int32)
-    return field, valid_t, gb0
+    return field, valid_t, gb0, edge_hits
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +339,7 @@ def spatial_gme_step(
 
     # Dense translation-only init at the coarsest level (motion.py:13-30,
     # 160-188): block-2 diamond search.
-    dense_field, dvalid, _ = banded_diamond_field(
+    dense_field, dvalid, _, edge_hits = banded_diamond_field(
         prev_pyr[0], curr_pyr[0], Hs[0], Ws[0],
         cfg.dense_block_size, cfg.dense_volume_radius, cfg.pnorm_distance,
         cfg.max_search_iters, axis_name, space,
@@ -344,11 +350,12 @@ def spatial_gme_step(
     for i in range(1, levels):
         parameters = parameter_projection(parameters)
         nbh, nbw = _block_grid(Hs[i], Ws[i], cfg.block_size)
-        field, valid_t, gb0 = banded_diamond_field(
+        field, valid_t, gb0, ehits = banded_diamond_field(
             prev_pyr[i], curr_pyr[i], Hs[i], Ws[i],
             cfg.block_size, cfg.volume_radius, cfg.pnorm_distance,
             cfg.max_search_iters, axis_name, space,
         )
+        edge_hits = edge_hits + ehits
         Tmax = field.shape[0]
         aff = _affine_band(parameters, nbh, nbw, Tmax, gb0)
         inlier = _outlier_inliers(
@@ -410,6 +417,9 @@ def spatial_gme_step(
         "diff_curr_prev": diff_cp,
         "diff_curr_comp": diff_cc,
         "psnr": psnr_val,
+        # Total across shards (the per-shard counts are disjoint by
+        # construction: count_mask restricts to owned block rows).
+        "volume_edge_hits": lax.psum(edge_hits, axis_name),
     }
 
 
@@ -473,6 +483,7 @@ def make_spatial_pipeline(mesh: Mesh, cfg: GMEConfig, H: int, W: int):
             "diff_curr_prev": P(DATA_AXIS, SPACE_AXIS, None),
             "diff_curr_comp": P(DATA_AXIS, SPACE_AXIS, None),
             "psnr": P(DATA_AXIS),
+            "volume_edge_hits": P(DATA_AXIS),
         },
         check_vma=False,
     )

@@ -58,7 +58,13 @@ def _prepare_dirs(save_path: str) -> None:
 # Outputs the driver actually transfers off-device.  The diff-image streams
 # are recomputed on host from frames already in host RAM (bit-identical
 # integer math) — halving host<->device traffic per batch.
-_TRANSFER_KEYS = ("parameters", "model_motion_field", "compensated", "psnr")
+_TRANSFER_KEYS = (
+    "parameters",
+    "model_motion_field",
+    "compensated",
+    "psnr",
+    "volume_edge_hits",
+)
 
 
 def _build_step(cfg: PipelineConfig, H: int, W: int):
@@ -74,7 +80,11 @@ def _build_step(cfg: PipelineConfig, H: int, W: int):
     -eliminates the rest of the per-pair dict); with `write_images=False`
     only (parameters, psnr) ever leave the device.
     """
-    keys = _TRANSFER_KEYS if cfg.write_images else ("parameters", "psnr")
+    keys = (
+        _TRANSFER_KEYS
+        if cfg.write_images
+        else ("parameters", "psnr", "volume_edge_hits")
+    )
     m = cfg.mesh
     if m.data * m.space == 1:
         base = lambda p, c: gme_pipeline_batch(p, c, cfg.gme)  # noqa: E731
@@ -167,12 +177,23 @@ def process_video(
     with timers.stage("device_put"):
         device_stack = jnp.asarray(stack)
 
+    edge_hits_total = 0
+
     def _flush(pending) -> None:
         """Transfer a finished batch and write its outputs — runs while the
         NEXT batch computes on device (double buffering)."""
+        nonlocal edge_hits_total
         batch_idx, out = pending
         with timers.stage("device_get"):
             out = jax.device_get(out)
+        if "volume_edge_hits" in out:
+            # Runtime parity diagnostic (see bbme.diamond_walk_volume): walks
+            # stopped on the volume-radius boundary.  Count only real (non-
+            # padding) pairs of this batch.
+            edge_hits_total += int(
+                sum(out["volume_edge_hits"][: len(batch_idx)])
+            )
+            out = {k: v for k, v in out.items() if k != "volume_edge_hits"}
         with timers.stage("write_outputs"):
             for k, idx in enumerate(batch_idx):
                 _write_pair_outputs(
@@ -185,6 +206,14 @@ def process_video(
                     write_images=cfg.write_images,
                 )
                 records.add(idx, float(out["psnr"][k]))
+            # Image-before-record fence: drain the async PNG pool BEFORE the
+            # ledger marks these pairs done, so a crash can never leave a
+            # recorded pair whose image streams were lost in the queue (the
+            # reference writes images synchronously before its record,
+            # results.py:64-112; `--resume` trusts the ledger).  The drain
+            # still overlaps the NEXT batch's device compute.
+            if writer is not None and cfg.write_images:
+                writer.drain()
             records.flush()
 
     t_start = time.perf_counter()
@@ -220,6 +249,7 @@ def process_video(
         "frame_distance": fd,
         "wall_s": wall,
         "pairs_per_s": len(indices) / wall if wall > 0 else None,
+        "volume_edge_hits": edge_hits_total,
         "psnr": records.summary(),
         "stages": timers.summary(),
     }

@@ -88,3 +88,43 @@ def test_volume_impl_matches_gather_impl(goldens, sp):
             searching_procedure=sp, pnorm_distance=1, search_impl="volume",
         ))
         assert np.array_equal(a, b), f"sp={sp} bs={bs}"
+
+
+def test_volume_edge_hits_detects_radius_escape(rng):
+    """Runtime detector for the volume-radius approximation: a global shift
+    larger than the radius stops walks on the volume boundary and must be
+    counted; a radius covering the motion must report zero (certifying
+    parity with the reference's unbounded walk, bbme.py:494-513)."""
+    from gme_tpu.ops.bbme import diamond_search
+
+    H, W, shift = 64, 64, 6
+    base = rng.randint(0, 256, (H + shift, W + shift), np.uint8)
+    prev = base[:H, :W]
+    curr = base[shift:, shift:]  # true motion = (+shift, +shift)
+
+    _, diag_small = diamond_search(
+        prev, curr, pnorm_distance=1, block_size=8, search_impl="volume",
+        volume_radius=4, return_diagnostics=True,
+    )
+    assert int(diag_small["volume_edge_hits"]) > 0
+
+    # A radius covering every walk's settling point reports zero (walks on
+    # random textures stop in nearby local minima, well inside R=16).
+    _, diag_big = diamond_search(
+        prev, curr, pnorm_distance=1, block_size=8, search_impl="volume",
+        volume_radius=16, return_diagnostics=True,
+    )
+    assert int(diag_big["volume_edge_hits"]) == 0
+
+
+def test_pipeline_step_surfaces_edge_hits(rng):
+    """gme_pipeline_step exposes the summed volume_edge_hits diagnostic."""
+    from gme_tpu.config import GMEConfig
+    from gme_tpu.models.gme import gme_pipeline_step
+
+    prev = rng.randint(0, 256, (64, 64), np.uint8)
+    curr = rng.randint(0, 256, (64, 64), np.uint8)
+    cfg = GMEConfig(pyramid_levels=2, search_impl="volume")
+    out = gme_pipeline_step(prev, curr, cfg)
+    assert "volume_edge_hits" in out
+    assert int(out["volume_edge_hits"]) >= 0

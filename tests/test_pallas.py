@@ -28,7 +28,20 @@ def _np_cost_volume(prev, cpad, bs, D, pnorm):
 
 
 @pytest.mark.parametrize("pnorm", [MAE, MSE])
-@pytest.mark.parametrize("bs,Hc,Wc,D", [(8, 32, 40, 9), (4, 24, 24, 7), (2, 16, 24, 5)])
+@pytest.mark.parametrize(
+    "bs,Hc,Wc,D",
+    [
+        (8, 32, 40, 9),
+        (4, 24, 24, 7),
+        (2, 16, 24, 5),
+        # Chunked planes path (bs < 8, D >= 8): D % G != 0 (chunk crop),
+        # nbh % 8 != 0 (tile padding), the dense-init shape family.
+        (2, 16, 24, 9),
+        (4, 24, 32, 13),
+        (2, 36, 64, 33),
+        (4, 52, 68, 11),
+    ],
+)
 def test_kernel_matches_numpy_oracle(rng, pnorm, bs, Hc, Wc, D):
     prev = rng.randint(0, 256, (Hc, Wc)).astype(np.float32)
     cpad = rng.randint(0, 256, (Hc + D - 1, Wc + D - 1)).astype(np.float32)
