@@ -86,9 +86,16 @@ def _run_resolution(frames: np.ndarray, batch: int):
         return outs
 
     run_all()  # warmup/compile
-    t0 = time.perf_counter()
-    outs = run_all()
-    dt = time.perf_counter() - t0
+    # Median-of-N wall times: the 240p full-video pass takes ~10 ms on a
+    # v5e, well inside single-sample timer noise — a median over repeats
+    # makes the headline statistic robust at every resolution.
+    repeats = 5 if frames.shape[1] <= 300 else 3
+    walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = run_all()
+        walls.append(time.perf_counter() - t0)
+    dt = float(np.median(walls))
     psnrs = np.concatenate([np.asarray(o["psnr"]) for o in outs])[:n_pairs]
     return n_pairs / dt, dt, psnrs, n_pairs
 

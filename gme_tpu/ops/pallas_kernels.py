@@ -171,6 +171,190 @@ def _planes_kernel(
         )
 
 
+_HANKEL_CP = 128  # padded c' width: one f32 lane tile, legal reshape minor
+
+
+def _hankel_E(bs: int, D: int) -> jnp.ndarray:
+    """Toeplitz selection matrix E[c, dc*CP + c'] = [c' - dc == c] (bf16).
+
+    Right-multiplying a (rows, bs) stack of prev-block row chunks by E
+    expands each bs-vector into its (D, CP) Toeplitz band on the MXU —
+    exact, because every output entry is a single 0/1-weighted product."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (bs, D, _HANKEL_CP), 0)
+    dc = jax.lax.broadcasted_iota(jnp.int32, (bs, D, _HANKEL_CP), 1)
+    cp = jax.lax.broadcasted_iota(jnp.int32, (bs, D, _HANKEL_CP), 2)
+    return (cp - dc == c).astype(jnp.bfloat16).reshape(bs, D * _HANKEL_CP)
+
+
+def _slide_sum_rows(x: jnp.ndarray, n: int, out_len: int) -> jnp.ndarray:
+    """In-kernel sliding sum over leading (sublane) dim: out[i] = sum of
+    x[i : i + n], via a log tree of static slices (exact for integer f32)."""
+    sums = {1: x}
+    p = 1
+    while 2 * p <= n:
+        a = sums[p]
+        sums[2 * p] = a[: a.shape[0] - p] + a[p:]
+        p *= 2
+    out = None
+    off = 0
+    while p >= 1:
+        if n & p:
+            part = sums[p][off : off + out_len]
+            out = part if out is None else out + part
+            off += p
+        p //= 2
+    return out
+
+
+def _slide_sum_lanes(x: jnp.ndarray, n: int, out_len: int) -> jnp.ndarray:
+    """Sliding sum over the minor (lane) dim, same log-tree construction."""
+    sums = {1: x}
+    p = 1
+    while 2 * p <= n:
+        a = sums[p]
+        sums[2 * p] = a[:, : a.shape[1] - p] + a[:, p:]
+        p *= 2
+    out = None
+    off = 0
+    while p >= 1:
+        if n & p:
+            part = sums[p][:, off : off + out_len]
+            out = part if out is None else out + part
+            off += p
+        p //= 2
+    return out
+
+
+def _hankel_mse_kernel(
+    prevT_ref, sb_ref, win_ref, e_ref, out_ref, w3_ref, ps_ref,
+    *, bs, D, nbw, Wpad, Jc
+):
+    """MXU cost-volume kernel: full MSE via the cross decomposition with the
+    D^2 sweep as per-block matmuls (see `_dfd_cost_volume_hankel`)."""
+    CP = _HANKEL_CP
+    win = win_ref[0]  # (bs + D - 1, Wpad) bf16
+    # Hankel scratch: W3[r, dr, x] = win[dr + r, x] (bs static sublane
+    # slices; each is a contiguous 2D copy).
+    for r in range(bs):
+        w3_ref[r] = win[r : r + D, :]
+    # sum-a^2 term: sliding bs x bs box sums of curr^2 at every (dr, x).
+    winf = win.astype(jnp.float32)
+    rowsum = _slide_sum_rows(winf * winf, bs, D)       # (D, Wpad)
+    sa_full = _slide_sum_lanes(rowsum, bs, Wpad - bs + 1)
+    e = e_ref[...]
+    prevT = prevT_ref[0]  # (nbw*bs, bs): rows (j*bs + r) = prev[r, j*bs + c]
+    for ch in range(nbw // Jc):
+        pc = prevT[ch * Jc * bs : (ch + 1) * Jc * bs, :]
+        # Toeplitz expansion of Jc prev blocks in ONE MXU matmul; bf16 cast
+        # exact (values <= 255).
+        ps_ref[...] = jnp.dot(
+            pc, e, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        for jl in range(Jc):
+            j = ch * Jc + jl
+            ps3 = ps_ref[jl * bs : (jl + 1) * bs, :].reshape(bs, D, CP)
+            wj = w3_ref[:, :, j * bs : j * bs + CP]
+            cross = jax.lax.dot_general(
+                wj, ps3, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (bs_r, D, D) batched over r
+            sa_j = sa_full[:, j * bs : j * bs + D]  # (D_dr, D_dc)
+            out_ref[0, j] = (
+                sa_j - 2.0 * jnp.sum(cross, axis=0) + sb_ref[0, 0, j]
+            )
+
+
+def _dfd_cost_volume_hankel(
+    prev_crop: jnp.ndarray,
+    curr_pad: jnp.ndarray,
+    bs: int,
+    D: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """MSE cost volume on the MXU — the bs >= 8 production path.
+
+    The D^2 elementwise sweep (the framework's hottest loop, reference
+    bbme.py:41-94) runs at VPU speed of light in the row-offset kernels
+    (~14 ms/pair at 720p level 2); only the MXU has more throughput.  Per
+    block, the cross term of sum (a-b)^2 = sum a^2 - 2ab + b^2 is a
+    correlation, and a correlation IS a matmul against a Toeplitz operand:
+
+        cross[dr, dc] = sum_{r, c'} W[r, dr, c'] * P[r, dc, c']
+        W[r, dr, c']  = curr[t*bs + dr + r, j*bs + c']   (Hankel of curr)
+        P[r, dc, c']  = prev[t*bs + r, j*bs + (c'-dc)]   (Toeplitz of prev)
+
+    contracted on the MXU as an r-batched (D, CP) x (D, CP) dot_general.
+    The Toeplitz operands are themselves built on the MXU: one selection
+    matmul `prev_chunk @ E` expands Jc blocks at a time (`_hankel_E`).  The
+    offset-independent squared terms fold in per block row: sum a^2 is an
+    in-kernel sliding box sum of curr^2, sum b^2 a tiny XLA block pooling.
+
+    Exactness: uint8 frame values are exact in bf16 (8-bit mantissa);
+    products are f32-accumulated; every sum stays < 2**24 (bs <= 16 guard),
+    and |sa - 2*cross| <= bs^2 * 255^2 < 2**24 keeps the combine exact —
+    bit-identical to the subtract-square oracles (tests/test_pallas.py).
+    """
+    CP = _HANKEL_CP
+    Hc, Wc = prev_crop.shape
+    nbh, nbw = Hc // bs, Wc // bs
+    K = bs + D - 1
+    Wpad = Wc + CP
+    assert curr_pad.shape == (Hc + D - 1, Wc + D - 1)
+    assert K <= CP
+    Jc = max(1, min(16, nbw))
+    while nbw % Jc:
+        Jc -= 1
+    # prevT rows (j*bs + r) = prev[t*bs + r, j*bs : (j+1)*bs].
+    prevT = (
+        prev_crop.astype(jnp.bfloat16)
+        .reshape(nbh, bs, nbw, bs)
+        .transpose(0, 2, 1, 3)
+        .reshape(nbh, nbw * bs, bs)
+    )
+    pf = prev_crop.astype(jnp.float32)
+    sb = (pf * pf).reshape(nbh, bs, nbw, bs).sum(axis=(1, 3))[:, None, :]
+    cb = jnp.pad(
+        curr_pad.astype(jnp.bfloat16),
+        ((0, 0), (0, Wpad - curr_pad.shape[1])),
+    )
+    wins = jnp.stack([cb[t * bs : t * bs + K] for t in range(nbh)])
+    E = _hankel_E(bs, D)
+    kernel = functools.partial(
+        _hankel_mse_kernel, bs=bs, D=D, nbw=nbw, Wpad=Wpad, Jc=Jc
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbh,),
+        in_specs=[
+            pl.BlockSpec((1, nbw * bs, bs), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nbw), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, Wpad), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, D * CP), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nbw, D, D), lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbh, nbw, D, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bs, D, Wpad), jnp.bfloat16),
+            pltpu.VMEM((Jc * bs, D * CP), jnp.bfloat16),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PLANES_VMEM_LIMIT
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbh * nbw * bs * D * CP * (bs + D),
+            bytes_accessed=2 * nbh * (bs + K) * Wpad + 4 * nbh * nbw * D * D,
+            transcendentals=0,
+        ),
+    )(prevT, sb, wins, E)
+    return out.transpose(2, 3, 0, 1)
+
+
 _PLANES_VMEM_LIMIT = 64 * 2**20
 
 
@@ -443,6 +627,10 @@ def dfd_cost_volume(
             prev_crop, curr_pad, bs, D, pnorm, 8, interpret
         )
     if pnorm == MSE and bs >= 8 and bs * bs * 255 * 255 < 2**24 and D >= 8:
+        if bs + D - 1 <= _HANKEL_CP:
+            # MXU path: Hankel x Toeplitz batched matmuls (see
+            # `_dfd_cost_volume_hankel`) — ~2.3x the VPU sweep at 720p.
+            return _dfd_cost_volume_hankel(prev_crop, curr_pad, bs, D, interpret)
         # MSE cross-correlation decomposition: 1 multiply/element in the
         # D^2 sweep instead of subtract+square (exact — see the docstring).
         return _dfd_cost_volume_mse_decomp(

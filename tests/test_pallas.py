@@ -40,6 +40,12 @@ def _np_cost_volume(prev, cpad, bs, D, pnorm):
         (4, 24, 32, 13),
         (2, 36, 64, 33),
         (4, 52, 68, 11),
+        # Hankel MXU path (MSE, bs >= 8, bs + D - 1 <= 128): block edges 8
+        # and 16, D odd/even coverage, nbw not divisible by the Jc chunk.
+        (16, 48, 80, 9),
+        (16, 32, 48, 33),
+        (8, 40, 56, 17),
+        (12, 36, 60, 21),
     ],
 )
 def test_kernel_matches_numpy_oracle(rng, pnorm, bs, Hc, Wc, D):
