@@ -85,6 +85,158 @@ def _parse_y4m(path: str) -> List[np.ndarray]:
     return frames
 
 
+def _iter_y4m(path: str):
+    """Incremental YUV4MPEG2 parser: yields Y planes one frame at a time
+    (same output as `_parse_y4m`, without reading the whole file upfront)."""
+    with open(path, "rb") as f:
+        header = f.readline().decode("ascii", "replace").rstrip("\n")
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError(f"not a y4m file: {path}")
+        width = height = None
+        subsampling = "420"
+        for tok in header.split()[1:]:
+            if tok.startswith("W"):
+                width = int(tok[1:])
+            elif tok.startswith("H"):
+                height = int(tok[1:])
+            elif tok.startswith("C"):
+                subsampling = tok[1:]
+        if width is None or height is None:
+            raise ValueError(f"y4m header missing dimensions: {header}")
+        ysize = width * height
+        if subsampling.startswith("420"):
+            chroma = 2 * ((width // 2) * (height // 2))
+        elif subsampling.startswith("422"):
+            chroma = 2 * ((width // 2) * height)
+        elif subsampling.startswith("444"):
+            chroma = 2 * ysize
+        elif subsampling.startswith("mono"):
+            chroma = 0
+        else:
+            raise ValueError(f"unsupported y4m subsampling: {subsampling}")
+        while True:
+            fh = f.readline()
+            if not fh:
+                return
+            if not fh.startswith(b"FRAME"):
+                raise ValueError("corrupt y4m frame header")
+            y = np.frombuffer(f.read(ysize), dtype=np.uint8)
+            if y.size < ysize:
+                raise ValueError("truncated y4m frame")
+            yield y.reshape(height, width).copy()
+            f.seek(chroma, 1)
+
+
+def iter_video_frames(path: str, native: Optional[bool] = None):
+    """Streaming decode: yields (H, W) uint8 grayscale frames one at a time.
+
+    Same frame values as `get_video_frames` (bit-identical across paths),
+    but incrementally — the input side of pipeline parallelism: the driver
+    computes on early frames while later ones still decode (the reference
+    decodes the whole video upfront, utils.py:9-31).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".y4m",):
+        yield from _iter_y4m(path)
+        return
+    if native is not False:
+        use_native = False
+        try:
+            from gme_tpu.native import loader as native_loader
+
+            use_native = native_loader.codec_available()
+        except Exception:
+            if native is True:
+                raise
+        if use_native:
+            yield from native_loader.iter_codec(path)
+            return
+        if native is True:
+            raise RuntimeError(
+                "native=True but the libav codec runtime is not built "
+                "(python -m gme_tpu.native.build)"
+            )
+    if not _HAS_CV2:
+        raise RuntimeError(
+            f"decoding {ext} requires the native libav runtime "
+            "(python -m gme_tpu.native.build) or OpenCV; convert to .y4m "
+            "for the dependency-free path"
+        )
+    cap = cv2.VideoCapture(path)
+    try:
+        while True:
+            if not cap.grab():
+                return
+            ok, frame = cap.retrieve()
+            if not ok:
+                return
+            if frame.ndim == 3 and frame.shape[2] == 3:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            yield frame
+    finally:
+        cap.release()
+
+
+class FramePrefetcher:
+    """Background-thread streaming decoder with blocking random access.
+
+    Decodes `path` on a daemon thread into an in-memory frame list (the
+    whole video stays resident, as in the reference, utils.py:9-31 — the
+    win is OVERLAP, not memory).  `frame(i)` blocks until frame i is
+    decoded and returns None once the stream ends before i.  Decoder
+    exceptions re-raise in the consumer.
+    """
+
+    def __init__(self, path: str, native: Optional[bool] = None):
+        import threading
+
+        self._frames: List[np.ndarray] = []
+        self._done = False
+        self._err: Optional[BaseException] = None
+        self._cv = threading.Condition()
+        self.decode_s = 0.0
+        self._thread = threading.Thread(
+            target=self._run, args=(path, native), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, path: str, native) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            for fr in iter_video_frames(path, native):
+                with self._cv:
+                    self._frames.append(fr)
+                    self._cv.notify_all()
+        except BaseException as e:  # propagate to the consumer
+            with self._cv:
+                self._err = e
+        finally:
+            self.decode_s = _time.perf_counter() - t0
+            with self._cv:
+                self._done = True
+                self._cv.notify_all()
+
+    def frame(self, i: int) -> Optional[np.ndarray]:
+        """Frame i, blocking until decoded; None if the stream ended first."""
+        with self._cv:
+            while len(self._frames) <= i and not self._done:
+                self._cv.wait()
+            if self._err is not None:
+                raise self._err
+            return self._frames[i] if i < len(self._frames) else None
+
+    def count(self) -> int:
+        """Total frame count (blocks until the stream ends)."""
+        with self._cv:
+            while not self._done:
+                self._cv.wait()
+            if self._err is not None:
+                raise self._err
+            return len(self._frames)
+
+
 def get_video_frames(path: str, native: Optional[bool] = None) -> List[np.ndarray]:
     """Decode a video to a list of (H, W) uint8 grayscale frames.
 

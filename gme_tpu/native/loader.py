@@ -145,6 +145,32 @@ def decode_codec(path: str) -> List[np.ndarray]:
     return frames
 
 
+def iter_codec(path: str):
+    """Streaming variant of `decode_codec`: yields grayscale frames one at
+    a time from the native demux/decode handle (the handle API is already
+    incremental — gme_codec_open/read_gray/close)."""
+    lib = _load()
+    assert lib is not None and lib.gme_codec_available()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    handle = lib.gme_codec_open(path.encode(), ctypes.byref(w), ctypes.byref(h))
+    if not handle:
+        raise ValueError(f"native codec open failed for {path}")
+    try:
+        while True:
+            buf = np.empty((h.value, w.value), dtype=np.uint8)
+            rc = lib.gme_codec_read_gray(
+                handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            )
+            if rc == 0:
+                return
+            if rc < 0:
+                raise ValueError(f"native codec decode failed ({rc}) for {path}")
+            yield buf
+    finally:
+        lib.gme_codec_close(handle)
+
+
 def write_png(path: str, img: np.ndarray) -> None:
     lib = _load()
     assert lib is not None

@@ -29,13 +29,29 @@ def _reflect101_pad2(img: jnp.ndarray) -> jnp.ndarray:
 _W5 = (1.0, 4.0, 6.0, 4.0, 1.0)
 
 
+def _tap_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """(n_in, n_out) banded tap matrix S[x, j] = w5[x - 2j] (0 outside),
+    so that `padded @ S` applies the stride-2 5-tap filter along an axis."""
+    x = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    t = x - 2 * j
+    s = jnp.zeros((n_in, n_out), jnp.float32)
+    for k, w in enumerate(_W5):
+        s = jnp.where(t == k, jnp.float32(w), s)
+    return s
+
+
 def pyrdown(img: jnp.ndarray) -> jnp.ndarray:
     """Downsample one pyramid level, matching cv2.pyrDown on uint8 exactly.
 
-    Implemented as explicit strided-slice multiply-adds rather than
-    `lax.conv` — XLA may rewrite small convs with transforms (Winograd-style)
-    whose intermediates are non-integer, breaking bit-exactness; slice+add
-    keeps every intermediate an exact f32 integer and maps to pure VPU work.
+    The separable 5-tap stride-2 filter runs as TWO banded matmuls on the
+    MXU (`S_vᵀ @ padded @ S_h`) rather than `lax.conv` or strided slices:
+    XLA may rewrite small convs with transforms (Winograd-style) whose
+    intermediates are non-integer, and stride-2 slices lower to expensive
+    masked relayouts on TPU.  With HIGHEST precision the dot is exact for
+    integer-valued operands (accumulators <= 255*256 < 2**24), so the
+    fixed-point rounding reproduces OpenCV bit-for-bit
+    (tests/test_pyramid.py).
 
     Args:
         img: (H, W) uint8 (or integer-valued float32) image.
@@ -46,10 +62,18 @@ def pyrdown(img: jnp.ndarray) -> jnp.ndarray:
     H, W = img.shape
     oh, ow = (H + 1) // 2, (W + 1) // 2
     x = _reflect101_pad2(img.astype(jnp.float32))
-    # Vertical pass: v[i, :] = sum_k w[k] * x[2i + k, :], i in [0, oh).
-    v = sum(w * x[k : k + 2 * oh - 1 : 2, :] for k, w in enumerate(_W5))
-    # Horizontal pass on the vertically-filtered rows.
-    acc = sum(w * v[:, k : k + 2 * ow - 1 : 2] for k, w in enumerate(_W5))
+    sv = _tap_matrix(oh, H + 4)
+    sh = _tap_matrix(ow, W + 4)
+    v = jnp.dot(
+        sv.T, x,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    acc = jnp.dot(
+        v, sh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     # OpenCV fixed-point rounding: (acc + 128) >> 8 == floor((acc + 128)/256).
     return jnp.floor((acc + 128.0) * (1.0 / 256.0)).astype(jnp.uint8)
 

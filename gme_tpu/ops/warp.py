@@ -88,6 +88,11 @@ def compensate_frame(frame: jnp.ndarray, motion_field: jnp.ndarray) -> jnp.ndarr
 
     Returns:
         (H, W) uint8 compensated frame.
+
+    Note: the gather/MXU dispatch keys off `jax.default_backend()` at TRACE
+    time, not the device the computation ultimately runs on (e.g.
+    `jit(..., device=cpu)` on a TPU host still picks the MXU path).  Both
+    paths are bit-identical, so a mismatch is performance-only.
     """
     H, W = frame.shape
     nbh, nbw = motion_field.shape[:2]

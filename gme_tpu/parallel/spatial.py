@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gme_tpu.config import DIAMOND, GMEConfig
+from gme_tpu.config import DIAMOND, EXHAUSTIVE, GMEConfig
 from gme_tpu.ops.affine import (
     get_motion_field_affine,
     int_moments,
@@ -53,7 +53,9 @@ from gme_tpu.ops.affine import (
     params_from_moments,
 )
 from gme_tpu.ops.bbme import (
+    _INF,
     _block_grid,
+    _cost_volume_core,
     compute_cost_volume_band,
     diamond_walk_volume,
 )
@@ -224,6 +226,101 @@ def banded_diamond_field(
     return field, valid_t, gb0, edge_hits
 
 
+def banded_exhaustive_field(
+    prev_band: jnp.ndarray,
+    curr_band: jnp.ndarray,
+    H: int,
+    W: int,
+    bs: int,
+    sw: int,
+    pnorm: int,
+    axis_name: str,
+    space: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exhaustive-search motion field for this shard's block rows: the same
+    banded cost volume as the diamond path, plus a masked first-minimum
+    argmin instead of a walk (reference bbme.py:105-179 — candidate offsets
+    span the asymmetric ``range(-sw, sw + bs)`` window, scan order
+    window_col outer / window_row inner fixes tie-breaking, out-of-frame
+    candidates are skipped).  Bit-identical to the single-device
+    `ops.bbme.exhaustive_search` (tests/test_parallel.py).
+
+    Returns (field, valid_t, gb0, edge_hits=0) — the same contract as
+    `banded_diamond_field` (exhaustive displacement is statically bounded,
+    so the radius-escape diagnostic is always zero).
+    """
+    lh = prev_band.shape[0]
+    nbh, nbw = _block_grid(H, W, bs)
+    D = 2 * sw + bs
+    Tmax = _band_tmax(H, space, bs)
+
+    k = lax.axis_index(axis_name)
+    gb0 = (k * lh + bs - 1) // bs
+    gb1 = jnp.minimum(((k + 1) * lh + bs - 1) // bs, nbh)
+    valid_t = gb0 + jnp.arange(Tmax, dtype=jnp.int32) < gb1
+
+    ext_b = max(0, Tmax * bs + bs - 1 - lh)
+    prev_f = prev_band[:, : nbw * bs].astype(jnp.float32)
+    prev_ext = extend_rows(prev_f, 0, ext_b, axis_name, space)
+    start = gb0 * bs - k * lh  # in [0, bs)
+    prev_blk = lax.dynamic_slice(prev_ext, (start, 0), (Tmax * bs, nbw * bs))
+
+    # Window rows for offset index i span [gb0*bs - sw, (gb0+Tmax)*bs + sw
+    # + bs - 1): halo-exchange sw above and ext_b + sw + bs - 1 below.
+    curr_f = curr_band.astype(jnp.float32)
+    curr_ext = extend_rows(curr_f, sw, ext_b + sw + bs - 1, axis_name, space)
+    curr_ext = jnp.pad(curr_ext, ((0, 0), (sw, sw + bs - 1)))[
+        :, : nbw * bs + D - 1
+    ]
+    curr_blk = lax.dynamic_slice(
+        curr_ext, (start, 0), (Tmax * bs + D - 1, nbw * bs + D - 1)
+    )
+
+    vol = _cost_volume_core(prev_blk, curr_blk, bs, D, pnorm)  # (Dr, Dc, T, nbw)
+    offsets = jnp.arange(-sw, sw + bs, dtype=jnp.int32)
+    row0 = (gb0 + jnp.arange(Tmax, dtype=jnp.int32)) * bs
+    col0 = jnp.arange(nbw, dtype=jnp.int32) * bs
+    valid_r = (row0[None, :] + offsets[:, None] >= 0) & (
+        row0[None, :] + offsets[:, None] + bs - 1 <= H - 1
+    )  # (D, T)
+    valid_c = (col0[None, :] + offsets[:, None] >= 0) & (
+        col0[None, :] + offsets[:, None] + bs - 1 <= W - 1
+    )  # (D, nbw)
+    # (D_wc, D_wr, T, nbw): window_col is the reference's outer loop.
+    cost = vol.transpose(1, 0, 2, 3)
+    mask = valid_c[:, None, None, :] & valid_r[None, :, :, None]
+    cost = jnp.where(mask, cost, _INF)
+
+    flat = cost.reshape(D * D, Tmax, nbw)
+    kk = jnp.argmin(flat, axis=0)  # first minimum == strict-< scan order
+    dy = offsets[kk // D]  # window_col -> channel 0 (x/col shift)
+    dx = offsets[kk % D]  # window_row -> channel 1 (y/row shift)
+    field = jnp.stack([dy, dx], axis=-1).astype(jnp.int32)
+    return field, valid_t, gb0, jnp.int32(0)
+
+
+def _banded_field(
+    prev_band, curr_band, H, W, bs, radius, cfg: GMEConfig, axis_name, space
+):
+    """Search-procedure dispatch for the banded motion field (the GME
+    default is diamond, reference motion.py:29,50,229; exhaustive uses
+    `get_motion_field`'s default search_window=2, reference bbme.py:12-19,
+    as the GME path never overrides it)."""
+    if cfg.searching_procedure == DIAMOND:
+        return banded_diamond_field(
+            prev_band, curr_band, H, W, bs, radius, cfg.pnorm_distance,
+            cfg.max_search_iters, axis_name, space,
+        )
+    if cfg.searching_procedure == EXHAUSTIVE:
+        return banded_exhaustive_field(
+            prev_band, curr_band, H, W, bs, 2, cfg.pnorm_distance,
+            axis_name, space,
+        )
+    raise ValueError(
+        "spatially-sharded pipeline supports diamond and exhaustive search"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed affine fit (psum'd normal equations + gathered outlier sort)
 # ---------------------------------------------------------------------------
@@ -339,10 +436,9 @@ def spatial_gme_step(
 
     # Dense translation-only init at the coarsest level (motion.py:13-30,
     # 160-188): block-2 diamond search.
-    dense_field, dvalid, _, edge_hits = banded_diamond_field(
+    dense_field, dvalid, _, edge_hits = _banded_field(
         prev_pyr[0], curr_pyr[0], Hs[0], Ws[0],
-        cfg.dense_block_size, cfg.dense_volume_radius, cfg.pnorm_distance,
-        cfg.max_search_iters, axis_name, space,
+        cfg.dense_block_size, cfg.dense_volume_radius, cfg, axis_name, space,
     )
     parameters = _first_params_psum(dense_field, dvalid, axis_name)
 
@@ -350,10 +446,9 @@ def spatial_gme_step(
     for i in range(1, levels):
         parameters = parameter_projection(parameters)
         nbh, nbw = _block_grid(Hs[i], Ws[i], cfg.block_size)
-        field, valid_t, gb0, ehits = banded_diamond_field(
+        field, valid_t, gb0, ehits = _banded_field(
             prev_pyr[i], curr_pyr[i], Hs[i], Ws[i],
-            cfg.block_size, cfg.volume_radius, cfg.pnorm_distance,
-            cfg.max_search_iters, axis_name, space,
+            cfg.block_size, cfg.volume_radius, cfg, axis_name, space,
         )
         edge_hits = edge_hits + ehits
         Tmax = field.shape[0]
@@ -438,10 +533,11 @@ def validate_spatial_shapes(
             f"coarsest-level bands need >= 4 rows "
             f"(H={H}, space={space}, levels={cfg.pyramid_levels})"
         )
-    if cfg.searching_procedure != DIAMOND:
+    if cfg.searching_procedure not in (DIAMOND, EXHAUSTIVE):
         raise ValueError(
             "the spatially-sharded pipeline implements the GME default "
-            "diamond search (reference motion.py:29,50,229)"
+            "diamond search (reference motion.py:29,50,229) and exhaustive "
+            "search; three-step/2D-log are single-device only"
         )
     if W is not None:
         # `_fit_psum` always takes the exact int32 moment path; apply the

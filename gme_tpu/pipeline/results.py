@@ -1,10 +1,13 @@
 """The results pipeline — the framework's `train()`-equivalent driver.
 
-TPU-native re-design of reference results.py:14-112: decode the video once,
-then run the full per-pair step (GME -> affine field -> compensation -> PSNR)
-as a *batched, jitted* device program over many frame pairs at once, instead
-of the reference's serial per-pair Python loop (results.py:41).  Host I/O
-(PNG streams, JSON records) overlaps device compute via async dispatch.
+TPU-native re-design of reference results.py:14-112: decode the video on a
+background thread (streaming prefetch) while running the full per-pair step
+(GME -> affine field -> compensation -> PSNR) as a *batched, jitted* device
+program over many frame pairs at once, instead of the reference's serial
+decode-everything-then-loop (results.py:41, utils.py:9-31).  Host I/O (PNG
+streams, JSON records) overlaps device compute via async dispatch; the
+`decode_wait` stage in summary.json records how long the driver actually
+blocked on the decoder (decode runs concurrently under `decode`).
 
 Output layout matches reference README.md:103-127 / results.py:28-33, and
 file naming matches results.py:62-106 (including the reference's `idx-5`
@@ -34,7 +37,7 @@ import numpy as np
 
 from gme_tpu.config import PipelineConfig
 from gme_tpu.io.draw import draw_motion_field
-from gme_tpu.io.video import get_video_frames
+from gme_tpu.io.video import FramePrefetcher
 from gme_tpu.io.writers import PSNRRecords, write_png
 from gme_tpu.models.gme import gme_pipeline_batch
 from gme_tpu.utils import compilation_cache
@@ -147,12 +150,16 @@ def process_video(
     save_path = os.path.join(out_root, video_name)
     _prepare_dirs(save_path)
 
-    with timers.stage("decode"):
-        frames = get_video_frames(video_path)
-    if not frames:
+    # Streaming decode on a background thread (the input side of pipeline
+    # parallelism, SURVEY §2.2 row 6): the device computes on early batches
+    # while later frames still decode.  The reference decodes the whole
+    # video upfront while everything else waits (utils.py:9-31).
+    pf = FramePrefetcher(video_path)
+    with timers.stage("decode_wait"):
+        first = pf.frame(0)
+    if first is None:
         raise RuntimeError(f"Error reading video file: {video_path}")
-    n = len(frames)
-    stack = np.stack(frames)  # (N, H, W) uint8
+    H, W = int(first.shape[0]), int(first.shape[1])
 
     shard_id, num_shards = shard if shard is not None else (0, 1)
     rec_name = (
@@ -162,20 +169,8 @@ def process_video(
     records = PSNRRecords(os.path.join(save_path, rec_name))
     writer = _get_writer()
 
-    indices = list(range(fd, n))
-    if max_pairs is not None:
-        indices = indices[:max_pairs]
-    if num_shards > 1:
-        indices = [
-            i for i in indices if ((i - fd) // gop_size) % num_shards == shard_id
-        ]
-    if cfg.resume:
-        indices = [i for i in indices if str(i) not in records.records]
-
     bsz = cfg.batch_size
-    step = _build_step(cfg, int(stack.shape[1]), int(stack.shape[2]))
-    with timers.stage("device_put"):
-        device_stack = jnp.asarray(stack)
+    step = _build_step(cfg, H, W)
 
     edge_hits_total = 0
 
@@ -199,8 +194,8 @@ def process_video(
                 _write_pair_outputs(
                     save_path,
                     idx,
-                    stack[idx - fd],
-                    stack[idx],
+                    pf.frame(idx - fd),
+                    pf.frame(idx),
                     {key: out[key][k] for key in out},
                     writer,
                     write_images=cfg.write_images,
@@ -216,39 +211,70 @@ def process_video(
                 writer.drain()
             records.flush()
 
+    def _dispatch(batch_idx):
+        """Upload one (possibly padded) batch and enqueue the device step;
+        JAX dispatch is asynchronous, so host PNG/JSON writes of the
+        PREVIOUS batch overlap this batch's device compute (the reference's
+        loop is strictly serial, results.py:41)."""
+        pad = bsz - len(batch_idx)
+        idx_arr = np.array(batch_idx + [batch_idx[-1]] * pad, dtype=np.int32)
+        with timers.stage("dispatch"):
+            prev = jnp.asarray(
+                np.stack([pf.frame(i - fd) for i in idx_arr])
+            )
+            curr = jnp.asarray(np.stack([pf.frame(i) for i in idx_arr]))
+            return step(prev, curr)
+
+    n_processed = 0
     t_start = time.perf_counter()
     with maybe_profile(profile_dir):
         pending = None
-        for lo in range(0, len(indices), bsz):
-            batch_idx = indices[lo : lo + bsz]
-            pad = bsz - len(batch_idx)
-            idx_arr = np.array(batch_idx + [indices[-1]] * pad, dtype=np.int32)
-
-            # JAX dispatch is asynchronous: enqueue batch k+1 BEFORE
-            # transferring batch k, so host PNG/JSON writes overlap device
-            # compute (the reference's loop is strictly serial,
-            # results.py:41).
-            with timers.stage("dispatch"):
-                prev = device_stack[idx_arr - fd]
-                curr = device_stack[idx_arr]
-                out = step(prev, curr)
+        batch: List[int] = []
+        idx = fd
+        while True:
+            if max_pairs is not None and idx - fd >= max_pairs:
+                break
+            with timers.stage("decode_wait"):
+                fr = pf.frame(idx)
+            if fr is None:
+                break
+            keep = True
+            if num_shards > 1 and (
+                ((idx - fd) // gop_size) % num_shards != shard_id
+            ):
+                keep = False
+            if cfg.resume and str(idx) in records.records:
+                keep = False
+            if keep:
+                batch.append(idx)
+                n_processed += 1
+                if len(batch) == bsz:
+                    out = _dispatch(batch)
+                    if pending is not None:
+                        _flush(pending)
+                    pending = (batch, out)
+                    batch = []
+            idx += 1
+        if batch:
+            out = _dispatch(batch)
             if pending is not None:
                 _flush(pending)
-            pending = (batch_idx, out)
+            pending = (batch, out)
         if pending is not None:
             _flush(pending)
     wall = time.perf_counter() - t_start
 
     if writer is not None:
         writer.drain()
+    timers.add("decode", pf.decode_s)
 
     summary = {
         "video": video_name,
-        "frame_shape": list(stack.shape[1:]),
-        "pairs_processed": len(indices),
+        "frame_shape": [H, W],
+        "pairs_processed": n_processed,
         "frame_distance": fd,
         "wall_s": wall,
-        "pairs_per_s": len(indices) / wall if wall > 0 else None,
+        "pairs_per_s": n_processed / wall if wall > 0 else None,
         "volume_edge_hits": edge_hits_total,
         "psnr": records.summary(),
         "stages": timers.summary(),

@@ -49,6 +49,12 @@ class StageTimer:
                 self.totals[name] = self.totals.get(name, 0.0) + dt
                 self.counts[name] = self.counts.get(name, 0) + 1
 
+    def add(self, name: str, seconds: float, count: int = 1) -> None:
+        """Account time measured elsewhere (e.g. on a background decode
+        thread) under a named stage."""
+        self.totals[name] = self.totals.get(name, 0.0) + seconds
+        self.counts[name] = self.counts.get(name, 0) + count
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {
             name: {

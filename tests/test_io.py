@@ -123,3 +123,62 @@ def test_native_true_does_not_fall_back_to_cv2(monkeypatch, tmp_path):
         pytest.skip("pan240 fixture not present")
     with pytest.raises(RuntimeError, match="native=True"):
         get_video_frames(pan240, native=True)
+
+
+def test_create_video_from_frames(tmp_path, rng):
+    """Re-encoder parity shim (reference utils.py:119-136): frames named
+    `{i-3}-{i}.png` re-encode to a playable video with one frame each."""
+    cv2 = pytest.importorskip("cv2")
+    from gme_tpu.io.video import create_video_from_frames
+
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    n = 8
+    for i in range(3, n):
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        cv2.imwrite(str(frame_dir / f"{i - 3}-{i}.png"), img)
+    out = str(tmp_path / "out.avi")
+    create_video_from_frames(str(frame_dir), n, out, fps=10)
+    cap = cv2.VideoCapture(out)
+    count = 0
+    while cap.grab():
+        count += 1
+    cap.release()
+    assert count == n - 3
+
+    with pytest.raises(FileNotFoundError):
+        create_video_from_frames(str(tmp_path / "empty"), 5, out)
+
+
+def test_iter_video_frames_matches_bulk(tmp_path, rng):
+    """Streaming decode yields bit-identical frames to the bulk decoder."""
+    from gme_tpu.io.video import (
+        FramePrefetcher,
+        get_video_frames,
+        iter_video_frames,
+        write_y4m,
+    )
+
+    frames = [rng.randint(0, 256, (24, 32), np.uint8) for _ in range(7)]
+    path = str(tmp_path / "clip.y4m")
+    write_y4m(path, frames)
+    bulk = get_video_frames(path)
+    streamed = list(iter_video_frames(path))
+    assert len(bulk) == len(streamed) == 7
+    for a, b, orig in zip(bulk, streamed, frames):
+        assert np.array_equal(a, b) and np.array_equal(a, orig)
+
+    pf = FramePrefetcher(path)
+    assert np.array_equal(pf.frame(6), frames[6])
+    assert pf.frame(7) is None
+    assert pf.count() == 7
+
+
+def test_frame_prefetcher_propagates_errors(tmp_path):
+    from gme_tpu.io.video import FramePrefetcher
+
+    bad = tmp_path / "bad.y4m"
+    bad.write_bytes(b"NOT A VIDEO\n")
+    pf = FramePrefetcher(str(bad))
+    with pytest.raises(ValueError):
+        pf.frame(0)

@@ -88,6 +88,23 @@ def test_spatial_full_parity_straddling_blocks(rng):
     _assert_matches_single(out, prev, curr, cfg)
 
 
+def test_spatial_exhaustive_parity(rng):
+    """Spatially-sharded EXHAUSTIVE search (banded cost volume + masked
+    first-min argmin, no walk) == single-device, bit for bit — the full GME
+    pipeline with cfg.searching_procedure=EXHAUSTIVE, including bands that
+    straddle 16-px blocks (reference bbme.py:105-179 semantics)."""
+    from gme_tpu.config import EXHAUSTIVE
+
+    cfg = GMEConfig(search_impl="volume", searching_procedure=EXHAUSTIVE)
+    for H, W in ((128, 80), (96, 84)):
+        B = 2
+        mesh = make_mesh(data=2, space=4)
+        prev, curr = _pairs(rng, B, H, W)
+        step = make_spatial_pipeline(mesh, cfg, H, W)
+        out = jax.device_get(step(jnp.asarray(prev), jnp.asarray(curr)))
+        _assert_matches_single(out, prev, curr, cfg)
+
+
 def test_spatial_space2(rng):
     cfg = GMEConfig(search_impl="volume")
     B, H, W = 4, 80, 64

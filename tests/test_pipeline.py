@@ -71,6 +71,65 @@ def test_frame_distance(tmp_path, rng):
     assert summary["pairs_processed"] == 6
 
 
+class _FakeAsyncWriter:
+    """Stands in for the native AsyncPNGWriter: holds submissions in a queue
+    until drain() — so a missing image-before-record fence leaves recorded
+    pairs whose images exist only in the (lost-on-crash) queue."""
+
+    def __init__(self):
+        self.queue = []
+
+    def submit(self, path, img):
+        self.queue.append((path, np.array(img)))
+
+    def drain(self):
+        from gme_tpu.io.writers import write_png
+
+        for path, img in self.queue:
+            write_png(path, img)
+        self.queue.clear()
+
+
+def test_images_fenced_before_record(tmp_path, rng, monkeypatch):
+    """Crash-consistency invariant of the resume ledger: at every
+    records.flush() the image streams of every recorded pair must already
+    be ON DISK (not in the async writer queue) — a crash between a flush
+    and a drain can then never leave `--resume` skipping pairs whose images
+    were lost (the reference writes images synchronously before its record,
+    results.py:64-112)."""
+    from gme_tpu.io.writers import PSNRRecords
+    from gme_tpu.pipeline import results as R
+
+    clip = _make_clip(tmp_path, rng)
+    out_root = str(tmp_path / "results_fence")
+    fake = _FakeAsyncWriter()
+    monkeypatch.setattr(R, "_get_writer", lambda workers=2: fake)
+
+    orig_flush = PSNRRecords.flush
+    seen_flushes = []
+
+    def checked_flush(self):
+        for idx in self.records:
+            for stream, name in (
+                ("compensated", int(idx) - 5),
+                ("frames", int(idx) - 5),
+                ("curr_prev_diff", int(idx)),
+                ("curr_comp_diff", int(idx)),
+            ):
+                p = os.path.join(
+                    os.path.dirname(self.path), stream, f"{name}.png"
+                )
+                assert os.path.exists(p), (
+                    f"record {idx} flushed before its {stream} image hit disk"
+                )
+        seen_flushes.append(len(self.records))
+        return orig_flush(self)
+
+    monkeypatch.setattr(PSNRRecords, "flush", checked_flush)
+    process_video(clip, out_root, PipelineConfig(batch_size=2))
+    assert seen_flushes and seen_flushes[-1] == 5
+
+
 PAN240 = "/root/reference/global_motion_estimation/resources/videos/pan240.mp4"
 
 
@@ -113,3 +172,13 @@ def test_full_video_reference_parity(goldens):
     # Fitted parameters track the reference per pair as well.
     pd = np.abs(params - golden["params"]).max()
     assert pd < 5e-3, f"per-pair parameter drift: max |delta| = {pd:.5f}"
+
+
+def test_streaming_decode_stages(tmp_path, rng):
+    """The driver streams decode on a background thread: summary reports
+    the concurrent decode time and the (typically much smaller) time the
+    main loop actually blocked waiting for frames."""
+    clip = _make_clip(tmp_path, rng)
+    s = process_video(clip, str(tmp_path / "r_stream"), PipelineConfig(batch_size=2))
+    assert "decode" in s["stages"] and "decode_wait" in s["stages"]
+    assert s["pairs_processed"] == 5

@@ -24,14 +24,9 @@ def test_warp_mxu_path_matches_gather(rng, shape, bs):
     cov_h, cov_w = nbh * bs, nbw * bs
     a = np.array(_warped_covered_gather(f, d, bs, cov_h, cov_w))
     b = np.array(_warped_covered_mxu(f, d, bs, cov_h, cov_w))
-    # OOB pixels differ between the raw paths only where the validity mask
-    # overrides them anyway — compare through the mask like compensate_frame.
-    d_px = np.repeat(np.repeat(np.array(d), bs, axis=0), bs, axis=1)
-    rr = np.arange(cov_h)[:, None]
-    cc = np.arange(cov_w)[None, :]
-    sr, sc = rr - d_px[..., 1], cc - d_px[..., 0]
-    valid = (sr >= 0) & (sc >= 0) & (sr < H) & (sc < W)
-    assert np.array_equal(a[valid], b[valid])
+    # Both paths apply identical row/column clamps, so they are equal
+    # EVERYWHERE — including OOB pixels the validity mask later overrides.
+    assert np.array_equal(a, b)
 
 
 def test_warp_matches_reference_golden(goldens):
