@@ -9,6 +9,19 @@ whole videos as batched device programs:
 - 480p / 720p: cubic upscales of pan240 (the BASELINE.md methodology — the
   reference CPU 720p number was measured on exactly such an upscale).
 
+Measurement methodology (stated in the emitted JSON): the device relay
+memoizes repeated (executable, input) dispatches, so timing repeat passes
+over IDENTICAL data under-reports real cost by many x at small resolutions.
+Here every timed dispatch uses input content the relay has never seen:
+
+- compile/warm-up runs on a SYNTHETIC variant (pixel values offset by +191
+  mod 256) — never on the data that is then timed;
+- pass 1 times the REAL video cold; passes 2..N time whole-video passes over
+  per-pass pixel-offset variants (+85k mod 256 — distinct content, identical
+  shapes/geometry), so no timed dispatch repeats a pair of buffers the relay
+  has dispatched before;
+- the headline is the median of the N per-pass wall times.
+
 Baselines (BASELINE.md, measured locally on this machine):
     pan240  (320x240):  2.575  pairs/s
     pan480  (640x480):  0.4672 pairs/s
@@ -32,6 +45,13 @@ BASELINES = {"240p": 2.575, "480p": 0.4672, "720p": 0.1915}
 SIZES = {"240p": (240, 320), "480p": (480, 640), "720p": (720, 1280)}
 
 PAN240 = "/root/reference/global_motion_estimation/resources/videos/pan240.mp4"
+
+METHOD = (
+    "cold-data passes: warm-up compiles on a +191 pixel-offset synthetic "
+    "variant; each timed pass runs the whole video on content the relay has "
+    "never dispatched (pass 1 = real video, pass k = +85(k-1) mod 256 "
+    "variant); headline = median per-pass wall time"
+)
 
 
 def _load_pan240():
@@ -62,7 +82,7 @@ def _upscale(frames: np.ndarray, hw) -> np.ndarray:
         return np.repeat(np.repeat(frames, ry, axis=1), rx, axis=2)
 
 
-def _run_resolution(frames: np.ndarray, batch: int):
+def _run_resolution(frames: np.ndarray, batch: int, repeats: int = 3):
     import jax
     import jax.numpy as jnp
 
@@ -71,9 +91,8 @@ def _run_resolution(frames: np.ndarray, batch: int):
 
     cfg = GMEConfig()
     n_pairs = frames.shape[0] - 1
-    device_frames = jnp.asarray(frames)
 
-    def run_all():
+    def run_all(device_frames):
         outs = []
         for lo in range(0, n_pairs, batch):
             idx = np.arange(lo, min(lo + batch, n_pairs))
@@ -85,19 +104,25 @@ def _run_resolution(frames: np.ndarray, batch: int):
         jax.block_until_ready(outs)
         return outs
 
-    run_all()  # warmup/compile
-    # Median-of-N wall times: the 240p full-video pass takes ~10 ms on a
-    # v5e, well inside single-sample timer noise — a median over repeats
-    # makes the headline statistic robust at every resolution.
-    repeats = 5 if frames.shape[1] <= 300 else 3
+    # Distinct-content videos: uint8 addition wraps, preserving shapes and
+    # motion geometry while making every frame's bytes unique per variant.
+    def variant(k):
+        v = jnp.asarray(frames) + jnp.uint8(k)
+        return jax.block_until_ready(v)
+
+    run_all(variant(191))  # warm-up/compile on data that is never timed
     walls = []
-    for _ in range(repeats):
+    outs = None
+    for rep in range(repeats):
+        dev = variant(85 * rep)  # rep 0 == the real video
         t0 = time.perf_counter()
-        outs = run_all()
+        o = run_all(dev)
         walls.append(time.perf_counter() - t0)
+        if rep == 0:
+            outs = o  # PSNR reported from the real-video pass
     dt = float(np.median(walls))
     psnrs = np.concatenate([np.asarray(o["psnr"]) for o in outs])[:n_pairs]
-    return n_pairs / dt, dt, psnrs, n_pairs
+    return n_pairs / dt, dt, walls, psnrs, n_pairs
 
 
 def main():
@@ -107,17 +132,18 @@ def main():
 
     compilation_cache.enable()
     pan240 = _load_pan240()
-    detail = {"device": str(jax.devices()[0])}
+    detail = {"device": str(jax.devices()[0]), "method": METHOD}
     results = {}
     for name in ("240p", "480p", "720p"):
         frames = pan240 if name == "240p" else _upscale(pan240, SIZES[name])
         batch = {"240p": 32, "480p": 16, "720p": 8}[name]
-        fps, dt, psnrs, n_pairs = _run_resolution(frames, batch)
+        fps, dt, walls, psnrs, n_pairs = _run_resolution(frames, batch)
         results[name] = fps
         detail[name] = {
             "pairs_per_s": round(fps, 3),
             "vs_baseline": round(fps / BASELINES[name], 2),
             "wall_s": round(dt, 3),
+            "walls_s": [round(w, 3) for w in walls],
             "n_pairs": int(n_pairs),
             "psnr_avg": round(float(psnrs.mean()), 3),
             "psnr_min": round(float(psnrs.min()), 3),
@@ -133,6 +159,7 @@ def main():
                 "value": round(results["720p"], 3),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(results["720p"] / BASELINES["720p"], 2),
+                "method": METHOD,
             }
         )
     )

@@ -137,6 +137,21 @@ def iter_video_frames(path: str, native: Optional[bool] = None):
     """
     ext = os.path.splitext(path)[1].lower()
     if ext in (".y4m",):
+        # Contract for y4m (aligned with get_video_frames, which prefers the
+        # native loader): native=True demands the native loader (bulk decode,
+        # raises if unbuilt); the default keeps the pure-Python parser because
+        # it is the only *incremental* y4m path — both are bit-identical
+        # (tests/test_io.py), so the default trades nothing but buffering.
+        if native is True:
+            from gme_tpu.native import loader as native_loader
+
+            if not native_loader.available():
+                raise RuntimeError(
+                    "native=True but the native y4m runtime is not built "
+                    "(python -m gme_tpu.native.build)"
+                )
+            yield from native_loader.decode_y4m(path)
+            return
         yield from _iter_y4m(path)
         return
     if native is not False:
@@ -180,21 +195,36 @@ def iter_video_frames(path: str, native: Optional[bool] = None):
 class FramePrefetcher:
     """Background-thread streaming decoder with blocking random access.
 
-    Decodes `path` on a daemon thread into an in-memory frame list (the
-    whole video stays resident, as in the reference, utils.py:9-31 — the
-    win is OVERLAP, not memory).  `frame(i)` blocks until frame i is
-    decoded and returns None once the stream ends before i.  Decoder
-    exceptions re-raise in the consumer.
+    Decodes `path` on a daemon thread into an in-memory frame list.  By
+    default the whole video stays resident (as in the reference,
+    utils.py:9-31 — the win is OVERLAP, not memory); for long clips the
+    driver bounds residency with `max_ahead` (the decoder blocks once that
+    many frames past the release watermark are buffered) and retires
+    consumed frames with `release_below` (GOP-window eviction — the results
+    loop is monotone, so frames below the flushed batch are dead).
+
+    `frame(i)` blocks until frame i is decoded and returns None once the
+    stream ends before i.  A decoder exception re-raises in the consumer —
+    but only for frames the decoder never produced: the valid decoded
+    prefix of a corrupt-tail stream stays accessible.
     """
 
-    def __init__(self, path: str, native: Optional[bool] = None):
+    def __init__(
+        self,
+        path: str,
+        native: Optional[bool] = None,
+        max_ahead: Optional[int] = None,
+    ):
         import threading
 
-        self._frames: List[np.ndarray] = []
+        self._frames: List[Optional[np.ndarray]] = []
+        self._released = 0  # frames below this index are evicted
+        self._max_ahead = max_ahead
         self._done = False
+        self._closed = False
+        self._decode_s: Optional[float] = None
         self._err: Optional[BaseException] = None
         self._cv = threading.Condition()
-        self.decode_s = 0.0
         self._thread = threading.Thread(
             target=self._run, args=(path, native), daemon=True
         )
@@ -204,17 +234,28 @@ class FramePrefetcher:
         import time as _time
 
         t0 = _time.perf_counter()
+        complete = False
         try:
             for fr in iter_video_frames(path, native):
                 with self._cv:
+                    while (
+                        self._max_ahead is not None
+                        and len(self._frames) - self._released >= self._max_ahead
+                        and not self._closed
+                    ):
+                        self._cv.wait()
+                    if self._closed:
+                        return
                     self._frames.append(fr)
                     self._cv.notify_all()
+            complete = True
         except BaseException as e:  # propagate to the consumer
             with self._cv:
                 self._err = e
         finally:
-            self.decode_s = _time.perf_counter() - t0
             with self._cv:
+                if complete:
+                    self._decode_s = _time.perf_counter() - t0
                 self._done = True
                 self._cv.notify_all()
 
@@ -223,12 +264,53 @@ class FramePrefetcher:
         with self._cv:
             while len(self._frames) <= i and not self._done:
                 self._cv.wait()
+            if i < len(self._frames):
+                if i < self._released:
+                    raise RuntimeError(
+                        f"frame {i} was released (release_below"
+                        f"({self._released}) already retired it)"
+                    )
+                return self._frames[i]
             if self._err is not None:
                 raise self._err
-            return self._frames[i] if i < len(self._frames) else None
+            return None
+
+    def release_below(self, i: int) -> None:
+        """Retire frames [0, i): their memory is dropped and the decoder's
+        `max_ahead` window slides forward.  Accessing a retired frame is an
+        error — callers release only below their own lookback window."""
+        with self._cv:
+            i = min(i, len(self._frames))
+            if i <= self._released:
+                return
+            for j in range(self._released, i):
+                self._frames[j] = None  # list slots stay (8 bytes each)
+            self._released = i
+            self._cv.notify_all()
+
+    def resident(self) -> int:
+        """Number of decoded frames currently held in memory."""
+        with self._cv:
+            return len(self._frames) - self._released
+
+    def close(self) -> None:
+        """Stop the decode thread (e.g. on a max_pairs early exit, where the
+        bounded-`max_ahead` decoder would otherwise block forever)."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def decode_seconds(self) -> Optional[float]:
+        """Wall time of the COMPLETE background decode, or None while it is
+        still running / was closed early / failed — so stage accounting
+        never reads a half-written value (the read is synchronized)."""
+        with self._cv:
+            return self._decode_s
 
     def count(self) -> int:
-        """Total frame count (blocks until the stream ends)."""
+        """Total frame count (blocks until the stream ends — do not call
+        mid-stream with `max_ahead` set unless frames are being consumed
+        concurrently, or decoder and caller deadlock)."""
         with self._cv:
             while not self._done:
                 self._cv.wait()

@@ -153,8 +153,15 @@ def process_video(
     # Streaming decode on a background thread (the input side of pipeline
     # parallelism, SURVEY §2.2 row 6): the device computes on early batches
     # while later frames still decode.  The reference decodes the whole
-    # video upfront while everything else waits (utils.py:9-31).
-    pf = FramePrefetcher(video_path)
+    # video upfront while everything else waits (utils.py:9-31).  Residency
+    # is bounded: the decoder keeps at most `max_ahead` frames past the
+    # release watermark, and `_flush` retires each batch's frames once its
+    # outputs are written — peak host RAM stays flat however long the clip.
+    # The window must exceed the driver's lookback/lookahead span: two
+    # in-flight batches (double buffering) + frame_distance + the current
+    # peek, with 2x slack.
+    max_ahead = 2 * (2 * cfg.batch_size + fd + 2)
+    pf = FramePrefetcher(video_path, max_ahead=max_ahead)
     with timers.stage("decode_wait"):
         first = pf.frame(0)
     if first is None:
@@ -254,6 +261,17 @@ def process_video(
                         _flush(pending)
                     pending = (batch, out)
                     batch = []
+            # GOP-window eviction: retire frames below every live window —
+            # the loop's own lookback (idx - fd), the accumulating batch,
+            # and the not-yet-flushed pending batch.  Keeps the bounded
+            # decoder moving even when resume/shard skipping scans far
+            # ahead without dispatching.
+            low = idx - fd
+            if batch:
+                low = min(low, batch[0] - fd)
+            if pending is not None:
+                low = min(low, pending[0][0] - fd)
+            pf.release_below(low)
             idx += 1
         if batch:
             out = _dispatch(batch)
@@ -266,7 +284,10 @@ def process_video(
 
     if writer is not None:
         writer.drain()
-    timers.add("decode", pf.decode_s)
+    pf.close()  # stop a decoder still streaming past a max_pairs early exit
+    ds = pf.decode_seconds()  # synchronized; None unless decode COMPLETED
+    if ds is not None:
+        timers.add("decode", ds)
 
     summary = {
         "video": video_name,

@@ -182,3 +182,85 @@ def test_frame_prefetcher_propagates_errors(tmp_path):
     pf = FramePrefetcher(str(bad))
     with pytest.raises(ValueError):
         pf.frame(0)
+
+
+def test_frame_prefetcher_bounded_residency(tmp_path, rng):
+    """With max_ahead set, the decoder never holds more than the window past
+    the release watermark — peak host memory stays flat on long clips
+    (GOP-window eviction; the results loop is monotone)."""
+    from gme_tpu.io.video import FramePrefetcher, write_y4m
+
+    frames = [rng.randint(0, 256, (16, 16), np.uint8) for _ in range(64)]
+    path = str(tmp_path / "long.y4m")
+    write_y4m(path, frames)
+
+    pf = FramePrefetcher(path, max_ahead=8)
+    peak = 0
+    for i in range(64):
+        got = pf.frame(i)
+        assert np.array_equal(got, frames[i])
+        peak = max(peak, pf.resident())
+        pf.release_below(max(0, i - 1))  # keep a 2-frame lookback window
+    assert peak <= 8, f"resident peaked at {peak} > max_ahead=8"
+    assert pf.frame(64) is None
+
+    # Retired frames are gone; accessing one is an error, not silent reuse.
+    with pytest.raises(RuntimeError):
+        pf.frame(0)
+
+
+def test_frame_prefetcher_corrupt_tail_keeps_prefix(tmp_path, rng):
+    """A corrupt tail aborts only frames past the valid decoded prefix: the
+    error surfaces when asking for a frame the decoder never produced, while
+    already-decoded frames stay accessible (docstring contract)."""
+    from gme_tpu.io.video import FramePrefetcher, write_y4m
+
+    frames = [rng.randint(0, 256, (16, 16), np.uint8) for _ in range(4)]
+    path = tmp_path / "trunc.y4m"
+    write_y4m(str(path), frames)
+    data = path.read_bytes()
+    path.write_bytes(data[: len(data) - 300])  # truncate inside frame 3's Y
+
+    pf = FramePrefetcher(str(path))
+    for i in range(3):
+        assert np.array_equal(pf.frame(i), frames[i])
+    with pytest.raises(ValueError):
+        pf.frame(3)
+
+
+def test_frame_prefetcher_decode_seconds(tmp_path, rng):
+    """decode_seconds() is None until the full decode completes, then a
+    float; close() before completion keeps it None (partial decodes are
+    never reported as a full decode time)."""
+    from gme_tpu.io.video import FramePrefetcher, write_y4m
+
+    frames = [rng.randint(0, 256, (16, 16), np.uint8) for _ in range(6)]
+    path = str(tmp_path / "c.y4m")
+    write_y4m(path, frames)
+
+    pf = FramePrefetcher(path)
+    pf.count()  # wait for completion
+    assert isinstance(pf.decode_seconds(), float)
+
+    pf2 = FramePrefetcher(path, max_ahead=2)
+    assert np.array_equal(pf2.frame(0), frames[0])
+    pf2.close()  # decoder blocked on the window exits without completing
+    pf2._thread.join(timeout=5)
+    assert pf2.decode_seconds() is None
+
+
+def test_iter_video_frames_y4m_native_contract(tmp_path, rng):
+    """native=True on y4m either uses the native loader or raises — it is
+    never silently ignored (aligned with get_video_frames)."""
+    from gme_tpu.io.video import iter_video_frames, write_y4m
+    from gme_tpu.native import loader as native_loader
+
+    frames = [rng.randint(0, 256, (16, 16), np.uint8) for _ in range(3)]
+    path = str(tmp_path / "n.y4m")
+    write_y4m(path, frames)
+    if native_loader.available():
+        got = list(iter_video_frames(path, native=True))
+        assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    else:
+        with pytest.raises(RuntimeError):
+            list(iter_video_frames(path, native=True))
