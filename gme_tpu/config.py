@@ -79,6 +79,12 @@ class GMEConfig:
     """
 
     block_size: int = 16
+    # Search window passed to the per-level motion search.  Default 2 is
+    # `get_motion_field`'s signature default (reference bbme.py:12-19) —
+    # the reference GME path never overrides it (motion.py:224).  Only
+    # exhaustive/three-step consume it; diamond ignores it as the
+    # reference does (bbme.py:436-534).
+    search_window: int = 2
     pyramid_levels: int = 3
     outlier_fraction: float = 0.3
     coord_stride: int = 4
@@ -91,10 +97,27 @@ class GMEConfig:
     # Radius for the dense (block-2) init search at the coarsest pyramid
     # level — motion there is 4x smaller, so a tighter volume suffices.
     dense_volume_radius: int = 16
+    # Escape-guarded adaptive radii (models.gme.gme_pipeline_batch_adaptive):
+    # the batch first runs with these tighter radii — quadratically less
+    # volume + successor-map work — and any pair whose diamond walk entered
+    # the volume's boundary-adjacent ring (volume_edge_hits > 0, the
+    # soundness certificate of bbme.diamond_walk_volume) is recomputed at
+    # the full radii above.  Results are bit-identical to a full-radius run
+    # by construction.
+    fast_volume_radius: int = 12
+    fast_dense_volume_radius: int = 8
+
+    def fast(self) -> "GMEConfig":
+        """The tight-radius first-tier config of the adaptive dispatch."""
+        return self.replace(
+            volume_radius=self.fast_volume_radius,
+            dense_volume_radius=self.fast_dense_volume_radius,
+        )
 
     def bbme(self, block_size: Optional[int] = None) -> BBMEConfig:
         return BBMEConfig(
             block_size=self.block_size if block_size is None else block_size,
+            search_window=self.search_window,
             searching_procedure=self.searching_procedure,
             pnorm_distance=self.pnorm_distance,
             max_search_iters=self.max_search_iters,

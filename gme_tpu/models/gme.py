@@ -18,6 +18,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gme_tpu.config import GMEConfig
 from gme_tpu.ops.affine import (
@@ -43,6 +44,7 @@ def dense_motion_estimation(
         previous,
         current,
         block_size=cfg.dense_block_size,
+        search_window=cfg.search_window,
         searching_procedure=cfg.searching_procedure,
         max_iters=cfg.max_search_iters,
         search_impl=cfg.search_impl,
@@ -62,6 +64,7 @@ def best_affine_parameters(previous, current, cfg: GMEConfig = _DEFAULT):
         previous,
         current,
         block_size=cfg.block_size,
+        search_window=cfg.search_window,
         searching_procedure=cfg.searching_procedure,
         max_iters=cfg.max_search_iters,
         search_impl=cfg.search_impl,
@@ -81,6 +84,7 @@ def best_affine_parameters_robust(
         previous,
         current,
         block_size=cfg.block_size,
+        search_window=cfg.search_window,
         searching_procedure=cfg.searching_procedure,
         max_iters=cfg.max_search_iters,
         search_impl=cfg.search_impl,
@@ -115,7 +119,8 @@ def global_motion_estimation_with_diagnostics(
 ):
     """`global_motion_estimation` plus runtime parity diagnostics: the total
     `volume_edge_hits` across the dense init and every pyramid level (walks
-    stopped on the volume-radius boundary — see bbme.diamond_walk_volume)."""
+    that entered the volume's boundary-adjacent ring, where a larger radius
+    could change the trajectory — see bbme.diamond_walk_volume)."""
     prev_pyr = get_pyramids(previous, cfg.pyramid_levels)
     curr_pyr = get_pyramids(current, cfg.pyramid_levels)
 
@@ -183,3 +188,41 @@ def gme_pipeline_batch(previous_batch, current_batch, cfg: GMEConfig = _DEFAULT)
 @partial(jax.jit, static_argnames=("cfg",))
 def global_motion_estimation_jit(previous, current, cfg: GMEConfig = _DEFAULT):
     return global_motion_estimation(previous, current, cfg)
+
+
+@partial(jax.jit, static_argnames=())
+def _merge_adaptive(fast_out, full_out, escaped):
+    """Per-pair select: full-radius outputs where the fast tier's walk
+    entered the volume boundary ring, fast outputs elsewhere."""
+
+    def pick(a_full, a_fast):
+        sel = escaped.reshape(escaped.shape[:1] + (1,) * (a_fast.ndim - 1))
+        return jnp.where(sel, a_full, a_fast)
+
+    return jax.tree_util.tree_map(pick, full_out, fast_out)
+
+
+def gme_pipeline_batch_adaptive(
+    previous_batch, current_batch, cfg: GMEConfig = _DEFAULT
+) -> Dict[str, jnp.ndarray]:
+    """Escape-guarded adaptive volume radius — the production dispatch.
+
+    Two-tier host-level dispatch: the batch first runs with the tight radii
+    (`cfg.fast()` — quadratically less cost-volume and successor-map work,
+    the dominant stages at every resolution); pairs whose diamond walk ever
+    entered the tight volume's boundary-adjacent ring (per-pair
+    ``volume_edge_hits`` — the soundness certificate, see
+    bbme.diamond_walk_volume) are recomputed at the full radii and merged
+    per pair.  Bit-identical to `gme_pipeline_batch(cfg)` by construction:
+    a zero-certificate pair's walk never consulted a successor the full
+    volume could change.  The reference's walks are unbounded within frame
+    clamps (reference bbme.py:494-513); the merged ``volume_edge_hits``
+    carries the full-radius run's residual diagnostic for escaped pairs.
+    """
+    fast_out = gme_pipeline_batch(previous_batch, current_batch, cfg.fast())
+    hits = np.asarray(fast_out["volume_edge_hits"])  # syncs the fast tier
+    if not hits.any():
+        return fast_out
+    full_out = gme_pipeline_batch(previous_batch, current_batch, cfg)
+    escaped = jnp.asarray(hits > 0)
+    return _merge_adaptive(fast_out, full_out, escaped)

@@ -467,34 +467,67 @@ def threestep_search(
         previous, current, bs, pnorm_distance, search_impl, exact_radius
     )
     origins = _block_origins(nbh, nbw, bs)
+    d = threestep_walk(evaluate, origins, H, W, bs, sw)
+    # Channel 0 = dy (col), channel 1 = dx (row) — reference bbme.py:338-339.
+    return jnp.stack([d[..., 1], d[..., 0]], axis=-1).astype(jnp.int32)
+
+
+def threestep_search_radius(block_size: int, search_window: int) -> int:
+    """Exact static bound on any position three-step evaluates: step-1's
+    displacement is applied twice through the compounded step-3 origin, so
+    2*s1 + s2 + s3 covers every candidate (reference bbme.py:211-213,
+    260-301)."""
+    s1 = (2 * search_window + block_size) // 3
+    s2 = (2 * search_window + block_size) // 5
+    s3 = (2 * search_window + block_size) // 10
+    return 2 * s1 + s2 + s3
+
+
+def threestep_walk(
+    evaluate: Evaluator,
+    origins: jnp.ndarray,
+    H: int,
+    W: int,
+    block_size: int,
+    search_window: int,
+) -> jnp.ndarray:
+    """The three 9-candidate rounds themselves, on any origin grid — shared
+    by the full-frame search and the row-band (spatially-sharded) path
+    (`origins` carries absolute/global coordinates either way, so frame
+    validity and tie-breaking are identical).
+
+    Returns the accumulated (row, col) displacement shaped like `origins`.
+    """
+    bs, sw = block_size, search_window
+    s1 = (2 * sw + bs) // 3
+    s2 = (2 * sw + bs) // 5
+    s3 = (2 * sw + bs) // 10
 
     def round_best(center: jnp.ndarray, offs: jnp.ndarray):
-        pos = center[..., None, :] + offs  # (nbh, nbw, 9, 2)
+        pos = center[..., None, :] + offs  # (..., 9, 2)
         valid = _in_frame(pos, bs, H, W)
         cost = evaluate(pos, valid)
-        k = jnp.argmin(cost, axis=-1)  # (nbh, nbw) first-min
+        k = jnp.argmin(cost, axis=-1)  # first-min
         best = offs[k]
         any_valid = jnp.any(jnp.isfinite(cost), axis=-1)
         return best, any_valid
 
     # Step 1: center (0,0) always valid => displacement always found.
     best1, _ = round_best(origins, _nine_offsets(s1))
-    d = best1  # (nbh, nbw, 2) — (dx=row, dy=col) accumulated displacement
+    d = best1  # (..., 2) — (dx=row, dy=col) accumulated displacement
     origin2 = origins + d
 
     # Step 2: center of round 2 is step-1's best position => always valid.
     best2, _ = round_best(origin2, _nine_offsets(s2))
     d = d + best2
 
-    # Step 3 origin compounds d again (reference quirk).
+    # Step 3 origin compounds d again (reference quirk, bbme.py:300-301).
     origin3 = origin2 + d
     best3, any3 = round_best(origin3, _nine_offsets(s3))
-    # Stale-tmp quirk: when no step-3 candidate is valid, re-add step-2's best.
+    # Stale-tmp quirk: when no step-3 candidate is valid, re-add step-2's
+    # best (reference bbme.py:292-294 + 335-336).
     step3 = jnp.where(any3[..., None], best3, best2)
-    d = d + step3
-
-    # Channel 0 = dy (col), channel 1 = dx (row) — reference bbme.py:338-339.
-    return jnp.stack([d[..., 1], d[..., 0]], axis=-1).astype(jnp.int32)
+    return d + step3
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +543,7 @@ def twodlog_search(
     max_iters: int = 4096,
     search_impl: str = "auto",
     volume_radius: int = 32,
+    return_diagnostics: bool = False,
 ) -> jnp.ndarray:
     """Cross-pattern logarithmic search as a lockstep while-loop.
 
@@ -518,14 +552,23 @@ def twodlog_search(
     each mode matches the reference scan order so first-minimum tie-breaking
     is identical (cross: center,+x,-x,+y,-y — bbme.py:389-393; step==2:
     row-major 3x3 neighbourhood — bbme.py:396-398).
+
+    With ``return_diagnostics=True`` also returns ``volume_edge_hits``: the
+    number of walks (volume engine only) that ever evaluated a candidate
+    which COULD lie outside the volume radius, i.e. whose displacement plus
+    the current step reached the radius — the runtime detector for the
+    volume-radius approximation of the reference's unbounded-within-clamps
+    walk (reference bbme.py:381: `while step > 1` with no displacement
+    bound).  Zero ==> results bit-identical to the unbounded gather engine.
     """
     H, W = previous.shape
     bs, sw = block_size, search_window
     nbh, nbw = _block_grid(H, W, bs)
 
+    radius = max(volume_radius, 2 * sw)
+    volume_engine = _resolve_impl(search_impl) == "volume"
     evaluate = _make_evaluator(
-        previous, current, bs, pnorm_distance, search_impl,
-        max(volume_radius, 2 * sw),
+        previous, current, bs, pnorm_distance, search_impl, radius
     )
     origins = _block_origins(nbh, nbw, bs)
 
@@ -542,7 +585,7 @@ def twodlog_search(
     )  # row-major product([x-2,x,x+2],[y-2,y,y+2])
 
     def body(state):
-        x, y, dx, dy, step, it = state
+        x, y, dx, dy, step, it, touched = state
         s = step
         zero = jnp.zeros_like(s)
         cross = jnp.stack(
@@ -571,24 +614,42 @@ def twodlog_search(
         nstep = jnp.where(halve, step // 2, step)
 
         active = step > 1
+        # Volume-radius soundness tracking: some candidate this round could
+        # read +inf through the radius mask iff the centre's displacement
+        # plus the step reaches past the radius (frame clamps only shrink
+        # displacements, so they cannot un-flag a walk).
+        disp = jnp.maximum(
+            jnp.abs(x - origins[..., 0]), jnp.abs(y - origins[..., 1])
+        )
+        touched = touched | (active & (disp + step > radius))
         x = jnp.where(active, ndx, x)
         y = jnp.where(active, ndy, y)
         dx = jnp.where(active, ndx, dx)
         dy = jnp.where(active, ndy, dy)
         step = jnp.where(active, nstep, step)
-        return (x, y, dx, dy, step, it + 1)
+        return (x, y, dx, dy, step, it + 1, touched)
 
     def cond(state):
-        *_, step, it = state
+        x, y, dx, dy, step, it, touched = state
         return jnp.any(step > 1) & (it < max_iters)
 
-    x, y, dx, dy, step, _ = lax.while_loop(
-        cond, body, (x0, y0, dx0, dy0, step0, jnp.int32(0))
+    x, y, dx, dy, step, _, touched = lax.while_loop(
+        cond, body,
+        (x0, y0, dx0, dy0, step0, jnp.int32(0),
+         jnp.zeros((nbh, nbw), dtype=bool)),
     )
     # Reference bbme.py:430-431: channel 1 = dx - block_row, 0 = dy - block_col.
-    return jnp.stack([dy - origins[..., 1], dx - origins[..., 0]], axis=-1).astype(
-        jnp.int32
-    )
+    field = jnp.stack(
+        [dy - origins[..., 1], dx - origins[..., 0]], axis=-1
+    ).astype(jnp.int32)
+    if return_diagnostics:
+        hits = (
+            jnp.sum(touched.astype(jnp.int32))
+            if volume_engine
+            else jnp.int32(0)  # gather engine walks are unbounded
+        )
+        return field, {"volume_edge_hits": hits}
+    return field
 
 
 # ---------------------------------------------------------------------------
@@ -927,12 +988,17 @@ def diamond_walk_volume(
 
     Returns the best absolute positions (after the SDSP pass), shaped like
     `origins`.  With ``with_diagnostics=True`` also returns the number of
-    walks whose fixpoint sits on the volume boundary (max |offset| >= R) —
-    the runtime detector for the volume-radius approximation (the reference
-    walk is unbounded within frame clamps, bbme.py:494-513; a walk stopped
-    by the ±R window instead of a true local minimum always ends on the
-    boundary, so a zero count certifies parity and a nonzero count flags
-    possibly-clamped blocks).
+    walks that ever VISITED the volume's boundary-adjacent ring
+    (max |offset| >= R - 1) — the runtime soundness certificate for the
+    volume-radius approximation (the reference walk is unbounded within
+    frame clamps, bbme.py:494-513).  At an offset with max |o| <= R - 2
+    every LDSP candidate (|delta| <= 2, frame clamps only shrink offsets)
+    lies inside the volume, so the successor there is identical for ANY
+    radius >= R; a walk that never enters the ring therefore follows the
+    exact unbounded trajectory, and its SDSP candidates (|delta| <= 1) are
+    in-volume too.  Zero count ==> results bit-identical to any larger
+    radius (including the escape-triggered full-radius fallback,
+    models.gme); a nonzero count flags possibly-clamped blocks.
     """
     bs, R = block_size, radius
     D = 2 * R + 1
@@ -952,7 +1018,12 @@ def diamond_walk_volume(
     ldsp_b = jnp.asarray(_LDSP[:, 1])
 
     def body(state):
-        o, _, it = state
+        o, _, it, touched = state
+        # Soundness tracking: the successor consulted at `o` could differ
+        # from a larger-radius map only when o sits in the boundary-adjacent
+        # ring (see docstring) — OR over every visited offset.
+        omax = jnp.maximum(jnp.abs(o // D - R), jnp.abs(o % D - R))
+        touched = touched | (omax >= R - 1)
         k = jnp.take_along_axis(rank_map, o[..., None], axis=-1)[..., 0]
         k = k.astype(jnp.int32)
         a = jnp.take(ldsp_a, k)
@@ -960,19 +1031,22 @@ def diamond_walk_volume(
         er = jnp.clip(o // D - R + a, lo_r, hi_r)
         ec = jnp.clip(o % D - R + b, lo_c, hi_c)
         nxt = (er + R) * D + (ec + R)
-        return (nxt, jnp.any(nxt != o), it + 1)
+        return (nxt, jnp.any(nxt != o), it + 1, touched)
 
     def cond(state):
-        _, changed, it = state
+        _, changed, it, _ = state
         return changed & (it < max_iters)
 
-    o, _, _ = lax.while_loop(cond, body, (o0, jnp.bool_(True), jnp.int32(0)))
+    o, _, _, touched = lax.while_loop(
+        cond, body,
+        (o0, jnp.bool_(True), jnp.int32(0), jnp.zeros(lead, dtype=bool)),
+    )
 
     match = jnp.stack(
         [origins[..., 0] + o // D - R, origins[..., 1] + o % D - R], axis=-1
     )
     if with_diagnostics:
-        edge = jnp.maximum(jnp.abs(o // D - R), jnp.abs(o % D - R)) >= R
+        edge = touched
         if count_mask is not None:
             edge = edge & count_mask
         edge_hits = jnp.sum(edge.astype(jnp.int32))
@@ -1082,6 +1156,12 @@ def get_motion_field(
             search_impl,
         )
     elif searching_procedure == TWODLOG:
+        if return_diagnostics:
+            return twodlog_search(
+                previous, current, pnorm_distance, block_size, search_window,
+                max_iters, search_impl, volume_radius,
+                return_diagnostics=True,
+            )
         field = twodlog_search(
             previous, current, pnorm_distance, block_size, search_window,
             max_iters, search_impl, volume_radius,
