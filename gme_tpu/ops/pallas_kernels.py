@@ -716,6 +716,151 @@ def _dfd_cost_volume_rowoffset(
     return out.reshape(D, D, nbhp, nbw)[:, :, :nbh, :]
 
 
+def _warp_kernel(idx_ref, cols_ref, frame_ref, out_ref, *, bs, H, W, nbw, G):
+    """Block-warp kernel body: two one-hot MXU matmuls per block row.
+
+    The block-constant motion field makes the warp a per-block 2D window
+    copy at an arbitrary pixel offset — a gather XLA lowers element-wise on
+    TPU, and Mosaic cannot vector-load VMEM at dynamic sublane offsets.  But
+    selection is matmul: with the (clipped) source row index per output
+    (block-column, intra-row) pair precomputed as ``rows_full`` (Wp,), the
+    transposed one-hot ``Rt[h, f] = [h == rows_full[f]]`` turns the row
+    gather into ``G = Rt^T @ frame`` on the MXU (each output picks exactly
+    ONE frame value — exact in bf16, frame values are 0..255 integers), and
+    the column selection is a second batched one-hot matmul per block
+    column.  Out-of-frame sources are clipped here and masked by the caller
+    (reference keeps the original pixel, motion.py:311-318).
+    """
+    Wp = nbw * bs
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (Wp, H), 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nbw, W, bs), 1)
+
+    # G block rows per grid step: the per-step pipeline overhead dominated
+    # the one-row version (measured ~100us/step against ~25us of matmul
+    # work).  fori_loop (not a Python unroll) so Mosaic reuses the
+    # iteration's large temporaries instead of stacking G copies (an
+    # unrolled variant measured 18.4MB of scoped vmem at 720p).
+    def body(gi, _):
+        # (Wp, 1) source-row per (bc, i) pair — shipped lane-padded from
+        # XLA so the one-hot builds in the (Wp, H) layout directly and the
+        # row-select matmul contracts lhs dim1 x rhs dim0 (the natural MXU
+        # form; a transposed-lhs contraction measured ~4x slower).
+        rows = idx_ref[gi][:, 0:1]
+        # R[f, h] = (h == rows_full[f]).
+        rsel = (h_iota == rows).astype(jnp.bfloat16)
+        # Grow[f, c] = frame[rows_full[f], c]  — (Wp, W), exact (one-hot
+        # rows pick a single 0..255 value; Mosaic requires a 32-bit
+        # accumulator, the bf16 downcast of integers <= 255 is exact).
+        grow = jax.lax.dot_general(
+            rsel,
+            frame_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gb = grow.astype(jnp.bfloat16).reshape(nbw, bs, W)
+        # C[bc, c, j] = (c == cols_full[bc, j]) — cols arrive pre-shaped
+        # (nbw, bs) from XLA (a lane->sublane reshape Mosaic cannot lower).
+        ctgt = cols_ref[gi][:, None, :]  # (nbw, 1, bs)
+        csel = (c_iota == ctgt).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            gb,
+            csel,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (nbw, bs_i, bs_j)
+        out_ref[gi] = out.reshape(Wp, bs)
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+def warp_block_field(
+    frame: jnp.ndarray,
+    d: jnp.ndarray,
+    bs: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(cov_h, cov_w) warped pixels for a block-constant motion field.
+
+    Pallas TPU replacement for the per-pixel warp gather (reference
+    motion.py:289-321 does this as a Python per-pixel loop; the previous
+    MXU formulation materialized a (cov_h, W) row gather per block COLUMN —
+    ~300 MB of intermediates at 720p, measured 4.4 ms/pair).  Here the
+    frame stays VMEM-resident across the (nbh,) grid and each block row
+    costs two exact one-hot matmuls — HBM traffic is one frame read + one
+    output write.
+
+    Source indices are clipped into the frame; the caller applies the
+    reference's OOB-keeps-original mask (motion.py:311-318).  Bit-identical
+    to the gather formulation for in-frame sources (tests/test_warp.py).
+
+    Args:
+        frame: (H, W) uint8.
+        d: (nbh, nbw, 2) int32; channel 0 = column shift, 1 = row shift.
+
+    Returns:
+        (nbh*bs, nbw*bs) uint8 warped pixels (clipped-source values at
+        OOB positions — caller masks them).
+    """
+    H, W = frame.shape
+    nbh, nbw = d.shape[:2]
+    Wp = nbw * bs
+    dy = d[..., 1].astype(jnp.int32)  # row shift
+    dx = d[..., 0].astype(jnp.int32)  # column shift
+    f = jnp.arange(Wp, dtype=jnp.int32)
+    bc = f // bs
+    k = f % bs
+    br = jnp.arange(nbh, dtype=jnp.int32)[:, None]
+    rows_full = jnp.clip(br * bs + k[None, :] - dy[:, bc], 0, H - 1)
+    cols_full = jnp.clip(f[None, :] - dx[:, bc], 0, W - 1)
+    # Rows ship as a lane-padded COLUMN (nbh, Wp, 8) so the kernel reads a
+    # (Wp, 1) vector without any lane->sublane relayout (Mosaic cannot
+    # lower those); cols ship pre-split as (nbw, bs) for the same reason.
+    # Blocks with a trailing dim equal to the array's trailing dim satisfy
+    # the (8, 128) tiling rule.
+    idx = jnp.pad(rows_full[:, :, None], ((0, 0), (0, 0), (0, 7)))
+    cols3 = cols_full.reshape(nbh, nbw, bs)
+    # Block-row chunk per grid step: largest divisor of nbh within the VMEM
+    # budget (buffers are reused across the in-kernel unroll, so G only
+    # scales the out block).
+    G = max((g for g in range(1, 10) if nbh % g == 0))
+
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel, bs=bs, H=H, W=W, nbw=nbw, G=G),
+        grid=(nbh // G,),
+        in_specs=[
+            pl.BlockSpec(
+                (G, Wp, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G, nbw, bs), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # Whole frame, index map constant: DMA'd once, VMEM-resident.
+            pl.BlockSpec((H, W), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, Wp, bs), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbh, Wp, bs), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # One iteration's temporaries (one-hot, f32 row-select product,
+            # bf16 copies) plus pipeline double-buffers exceed the default
+            # 16 MiB scoped budget at 720p; v5e VMEM is 128 MiB.
+            vmem_limit_bytes=_PLANES_VMEM_LIMIT
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbh * Wp * W * (H + bs),
+            bytes_accessed=2 * H * W + 4 * nbh * Wp * bs,
+            transcendentals=0,
+        ),
+    )(idx, cols3, frame.astype(jnp.bfloat16))
+    # (nbh, nbw*bs_i, bs_j) -> (cov_h, cov_w)
+    out = out.reshape(nbh, nbw, bs, bs).transpose(0, 2, 1, 3)
+    return out.reshape(nbh * bs, nbw * bs).astype(frame.dtype)
+
+
 def use_pallas() -> bool:
     """Pallas path only on real TPU backends (CPU tests use interpret mode
     explicitly where they want to exercise the kernel)."""

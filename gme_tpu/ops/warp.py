@@ -13,18 +13,22 @@ motion.py:289-321).  Boundary semantics are preserved exactly:
 - pixels beyond the field's coverage (bottom/right remainders) keep their
   original value.
 
-Two implementations, bit-identical (asserted in tests/test_warp.py):
+Three implementations, bit-identical (asserted in tests/test_warp.py):
 
 - a vectorised per-pixel gather (the portable path — CPU backends lower 2D
-  gathers well);
-- an MXU formulation for TPU, where XLA lowers the arbitrary 2D gather to a
-  slow per-element sequence (measured 14.4 ms/pair at 720p on a v5e).  The
-  motion field is block-constant, so the warp factors into a per-block-column
-  row gather (axis-0 gather, row-granular and fast) followed by a per-block
-  column selection expressed as a 0/1 one-hot matmul that rides the MXU
-  (measured 4.0 ms/pair).  Frame values are 0..255 integers — exact in
-  bfloat16, and each one-hot row selects exactly one product, so the matmul
-  is exact.
+  gathers well; XLA on TPU lowers the arbitrary 2D gather to a slow
+  per-element sequence, measured 14.4 ms/pair at 720p on a v5e);
+- an XLA MXU formulation (`_warped_covered_mxu`, the pre-Pallas TPU path,
+  kept as a verification twin): per-block-column row gather + one-hot
+  column-select matmul — ~300 MB of gathered-row intermediates at 720p,
+  measured ~1.2 ms/pair;
+- the production TPU path, a Pallas kernel
+  (`pallas_kernels.warp_block_field`): the frame stays VMEM-resident and
+  each block row costs two exact one-hot MXU matmuls (row select, then
+  batched column select) — HBM traffic is one frame read + one output
+  write, measured ~0.3 ms/pair at 720p.  Frame values are 0..255 integers —
+  exact in bfloat16, and each one-hot row selects exactly one product, so
+  the matmuls are exact.
 """
 
 from __future__ import annotations
@@ -101,7 +105,9 @@ def compensate_frame(frame: jnp.ndarray, motion_field: jnp.ndarray) -> jnp.ndarr
 
     d = motion_field.astype(jnp.int32)
     if jax.default_backend() == "tpu":
-        warped = _warped_covered_mxu(frame, d, bs, cov_h, cov_w)
+        from gme_tpu.ops.pallas_kernels import warp_block_field
+
+        warped = warp_block_field(frame, d, bs)
     else:
         warped = _warped_covered_gather(frame, d, bs, cov_h, cov_w)
 

@@ -77,3 +77,44 @@ def test_frame_difference(rng):
     b = rng.randint(0, 256, (8, 8), np.uint8)
     d = np.array(frame_difference(a, b))
     assert np.array_equal(d, np.abs(a.astype(int) - b.astype(int)).astype(np.uint8))
+
+
+@pytest.mark.parametrize(
+    "shape,bs",
+    [((64, 96), 16), ((48, 80), 16), ((30, 44), 4), ((33, 47), 8)],
+)
+def test_warp_pallas_kernel_matches_gather(rng, shape, bs):
+    """The Pallas warp kernel (two one-hot MXU matmuls per block row, the
+    TPU production path) is bit-identical to the gather formulation —
+    including clipped-source pixels the validity mask later overrides."""
+    from gme_tpu.ops.pallas_kernels import warp_block_field
+
+    H, W = shape
+    nbh, nbw = H // bs, W // bs
+    f = jnp.asarray(rng.randint(0, 256, (H, W), np.uint8))
+    d = jnp.asarray(rng.randint(-20, 21, (nbh, nbw, 2), np.int32))
+    cov_h, cov_w = nbh * bs, nbw * bs
+    a = np.array(_warped_covered_gather(f, d, bs, cov_h, cov_w))
+    b = np.array(warp_block_field(f, d, bs, interpret=True))
+    assert b.shape == (cov_h, cov_w) and b.dtype == np.uint8
+    assert np.array_equal(a, b)
+
+
+def test_warp_pallas_kernel_batched(rng):
+    """vmap over a batch of (frame, field) pairs — the pipeline's usage."""
+    import jax
+
+    from gme_tpu.ops.pallas_kernels import warp_block_field
+
+    H, W, bs = 32, 48, 8
+    nbh, nbw = H // bs, W // bs
+    fb = jnp.asarray(rng.randint(0, 256, (3, H, W), np.uint8))
+    db = jnp.asarray(rng.randint(-10, 11, (3, nbh, nbw, 2), np.int32))
+    out = np.array(
+        jax.vmap(lambda f, d: warp_block_field(f, d, bs, interpret=True))(fb, db)
+    )
+    for i in range(3):
+        ref = np.array(
+            _warped_covered_gather(fb[i], db[i], bs, nbh * bs, nbw * bs)
+        )
+        assert np.array_equal(out[i], ref)

@@ -1,8 +1,18 @@
 """Per-stage timing of the GME pipeline on the attached chip (dev tool).
 
-Measurement methodology: the axon relay memoizes (executable, inputs) pairs,
-so every timed call uses DISTINCT input buffers and forces a host roundtrip
-(float(out.sum())) inside the timed region.  Reported: min over trials.
+Measurement methodology (two relay pitfalls, both measured on this box):
+
+- the axon relay memoizes (executable, inputs) pairs, so every timed call
+  uses DISTINCT input buffers and forces a host roundtrip
+  (float(out.sum())) inside the timed region;
+- `jax.block_until_ready` does NOT wait for execution on the relay (only a
+  value fetch does), and the dispatch+fetch round trip costs a data-
+  independent ~25-40 ms — additive on EVERY timed call.  A no-op program
+  measures that floor per run, and each stage is reported raw AND
+  floor-corrected ("- rt").  Without the correction a ~0.3 ms stage reads
+  as ~35 ms (this skewed the round-4 per-stage numbers).
+
+Reported: min over trials.
 """
 import os
 import sys
@@ -32,6 +42,9 @@ BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 TRIALS = 3
 
 
+_RT_FLOOR_S = [0.0]  # measured per run by _measure_rt_floor()
+
+
 def bench(name, fn, make_args):
     """fn jitted; make_args(i) returns distinct args per trial.  fn + a
     finite-masked sum are fused into ONE jitted program returning a scalar:
@@ -59,8 +72,31 @@ def bench(name, fn, make_args):
         float(f_sum(*args))  # forces the roundtrip inside the timed region
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
+    corr = max(dt - _RT_FLOOR_S[0], 0.0)
     print(f"{name:42s} {dt*1e3:9.2f} ms/batch{BATCH}  {dt*1e3/BATCH:7.3f} ms/pair"
+          f"  | - rt: {corr*1e3:8.2f} ms {corr*1e3/BATCH:7.3f} ms/pair"
           f"   (compile {compile_s:.0f}s)", flush=True)
+
+
+def _measure_rt_floor():
+    """Dispatch+fetch round-trip floor: a near-no-op program, same
+    discipline (distinct inputs, scalar fetch)."""
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x[:2, :2].astype(jnp.float32))
+
+    ts = []
+    for i in range(6):
+        x = jax.block_until_ready(
+            jax.random.randint(jax.random.PRNGKey(i), (64, 64), 0, 256,
+                               jnp.uint8))
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    _RT_FLOOR_S[0] = min(ts[1:])  # ts[0] includes compile
+    print(f"dispatch+fetch round-trip floor: {_RT_FLOOR_S[0]*1e3:.1f} ms "
+          f"(subtracted in the '- rt' column)", flush=True)
 
 
 from functools import partial as _partial
@@ -82,6 +118,8 @@ def frames_at(shape, i):
 
 
 vb = jax.vmap
+
+_measure_rt_floor()
 
 bench(
     "pyramids(prev)+pyramids(curr)",
