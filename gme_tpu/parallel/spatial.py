@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gme_tpu.config import DIAMOND, EXHAUSTIVE, GMEConfig
+from gme_tpu.config import DIAMOND, EXHAUSTIVE, THREESTEP, GMEConfig
 from gme_tpu.ops.affine import (
     get_motion_field_affine,
     int_moments,
@@ -58,6 +58,9 @@ from gme_tpu.ops.bbme import (
     _cost_volume_core,
     compute_cost_volume_band,
     diamond_walk_volume,
+    threestep_search_radius,
+    threestep_walk,
+    volume_evaluator,
 )
 from gme_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
@@ -156,29 +159,25 @@ def _band_tmax(H: int, space: int, bs: int) -> int:
     return max(counts)
 
 
-def banded_diamond_field(
+def _banded_volume(
     prev_band: jnp.ndarray,
     curr_band: jnp.ndarray,
     H: int,
     W: int,
     bs: int,
-    radius: int,
+    R: int,
     pnorm: int,
-    max_iters: int,
     axis_name: str,
     space: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Diamond-search motion field for this shard's block rows.
-
-    Returns (field (Tmax, nbw, 2) int32, valid (Tmax,) bool, gb0 scalar,
-    edge_hits scalar int32 — this shard's count of walks stopped on the
-    volume-radius boundary, masked to valid rows; see
-    bbme.diamond_walk_volume).  Channel conventions and walk semantics
-    identical to the single-device `diamond_search` (volume engine).
+):
+    """Shared banded cost-volume builder: halo-exchange the current frame by
+    the search radius, compute this shard's block rows' masked DFD volume,
+    and return (vol (Tmax, nbw, D*D), origins (Tmax, nbw, 2) global coords,
+    valid_t (Tmax,), gb0).  Backs the banded diamond AND three-step walks —
+    both then reuse the exact single-device walk code on global coordinates.
     """
     lh = prev_band.shape[0]
     nbh, nbw = _block_grid(H, W, bs)
-    R = radius
     Tmax = _band_tmax(H, space, bs)
 
     k = lax.axis_index(axis_name)
@@ -213,8 +212,35 @@ def banded_diamond_field(
         [jnp.broadcast_to(gi, (Tmax, nbw)), jnp.broadcast_to(gj, (Tmax, nbw))],
         axis=-1,
     )
+    return vol, origins, valid_t, gb0
+
+
+def banded_diamond_field(
+    prev_band: jnp.ndarray,
+    curr_band: jnp.ndarray,
+    H: int,
+    W: int,
+    bs: int,
+    radius: int,
+    pnorm: int,
+    max_iters: int,
+    axis_name: str,
+    space: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Diamond-search motion field for this shard's block rows.
+
+    Returns (field (Tmax, nbw, 2) int32, valid (Tmax,) bool, gb0 scalar,
+    edge_hits scalar int32 — this shard's count of walks that entered the
+    volume's boundary-adjacent ring, masked to valid rows; see
+    bbme.diamond_walk_volume).  Channel conventions and walk semantics
+    identical to the single-device `diamond_search` (volume engine).
+    """
+    vol, origins, valid_t, gb0 = _banded_volume(
+        prev_band, curr_band, H, W, bs, radius, pnorm, axis_name, space
+    )
+    Tmax, nbw = origins.shape[:2]
     best, edge_hits = diamond_walk_volume(
-        vol, origins, H, W, bs, R, max_iters,
+        vol, origins, H, W, bs, radius, max_iters,
         with_diagnostics=True,
         count_mask=jnp.broadcast_to(valid_t[:, None], (Tmax, nbw)),
     )
@@ -224,6 +250,40 @@ def banded_diamond_field(
         axis=-1,
     ).astype(jnp.int32)
     return field, valid_t, gb0, edge_hits
+
+
+def banded_threestep_field(
+    prev_band: jnp.ndarray,
+    curr_band: jnp.ndarray,
+    H: int,
+    W: int,
+    bs: int,
+    sw: int,
+    pnorm: int,
+    axis_name: str,
+    space: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Three-step-search motion field for this shard's block rows.
+
+    Three-step's displacement is statically bounded (every evaluated
+    position lies within `threestep_search_radius(bs, sw)` of the block
+    origin — reference bbme.py:211-213, 260-301), so it fits the banded
+    volume machinery directly: build the local volume at the exact radius,
+    then run the single-device rounds (`bbme.threestep_walk`) on global
+    coordinates.  Bit-identical to `ops.bbme.threestep_search`
+    (tests/test_parallel.py); returns the `banded_diamond_field` contract
+    with edge_hits=0 (the exact radius makes escapes impossible).
+    """
+    R = threestep_search_radius(bs, sw)
+    vol, origins, valid_t, gb0 = _banded_volume(
+        prev_band, curr_band, H, W, bs, R, pnorm, axis_name, space
+    )
+    d = threestep_walk(
+        volume_evaluator(vol, origins, R), origins, H, W, bs, sw
+    )
+    # Channel 0 = dy (col), channel 1 = dx (row) — reference bbme.py:338-339.
+    field = jnp.stack([d[..., 1], d[..., 0]], axis=-1).astype(jnp.int32)
+    return field, valid_t, gb0, jnp.int32(0)
 
 
 def banded_exhaustive_field(
@@ -303,9 +363,10 @@ def _banded_field(
     prev_band, curr_band, H, W, bs, radius, cfg: GMEConfig, axis_name, space
 ):
     """Search-procedure dispatch for the banded motion field (the GME
-    default is diamond, reference motion.py:29,50,229; exhaustive uses
-    `get_motion_field`'s default search_window=2, reference bbme.py:12-19,
-    as the GME path never overrides it)."""
+    default is diamond, reference motion.py:29,50,229; exhaustive and
+    three-step use `cfg.search_window`, whose default 2 matches
+    `get_motion_field`'s signature default, reference bbme.py:12-19 — the
+    GME path never overrides it)."""
     if cfg.searching_procedure == DIAMOND:
         return banded_diamond_field(
             prev_band, curr_band, H, W, bs, radius, cfg.pnorm_distance,
@@ -313,11 +374,17 @@ def _banded_field(
         )
     if cfg.searching_procedure == EXHAUSTIVE:
         return banded_exhaustive_field(
-            prev_band, curr_band, H, W, bs, 2, cfg.pnorm_distance,
-            axis_name, space,
+            prev_band, curr_band, H, W, bs, cfg.search_window,
+            cfg.pnorm_distance, axis_name, space,
+        )
+    if cfg.searching_procedure == THREESTEP:
+        return banded_threestep_field(
+            prev_band, curr_band, H, W, bs, cfg.search_window,
+            cfg.pnorm_distance, axis_name, space,
         )
     raise ValueError(
-        "spatially-sharded pipeline supports diamond and exhaustive search"
+        "spatially-sharded pipeline supports diamond, exhaustive and "
+        "three-step search"
     )
 
 
@@ -533,11 +600,13 @@ def validate_spatial_shapes(
             f"coarsest-level bands need >= 4 rows "
             f"(H={H}, space={space}, levels={cfg.pyramid_levels})"
         )
-    if cfg.searching_procedure not in (DIAMOND, EXHAUSTIVE):
+    if cfg.searching_procedure not in (DIAMOND, EXHAUSTIVE, THREESTEP):
         raise ValueError(
-            "the spatially-sharded pipeline implements the GME default "
-            "diamond search (reference motion.py:29,50,229) and exhaustive "
-            "search; three-step/2D-log are single-device only"
+            "the spatially-sharded pipeline implements diamond (the GME "
+            "default, reference motion.py:29,50,229), exhaustive and "
+            "three-step search; 2D-log's walk is unbounded within frame "
+            "clamps (reference bbme.py:381) so its halo width has no "
+            "static bound — single-device only"
         )
     if W is not None:
         # `_fit_psum` always takes the exact int32 moment path; apply the
