@@ -9,18 +9,26 @@ whole videos as batched device programs:
 - 480p / 720p: cubic upscales of pan240 (the BASELINE.md methodology — the
   reference CPU 720p number was measured on exactly such an upscale).
 
-Measurement methodology (stated in the emitted JSON): the device relay
-memoizes repeated (executable, input) dispatches, so timing repeat passes
-over IDENTICAL data under-reports real cost by many x at small resolutions.
-Here every timed dispatch uses input content the relay has never seen:
+Measurement methodology (stated in the emitted JSON; every pitfall below
+was measured on this box, see docs/performance.md):
 
-- compile/warm-up runs on a SYNTHETIC variant (pixel values offset by +191
-  mod 256) — never on the data that is then timed;
-- pass 1 times the REAL video cold; passes 2..N time whole-video passes over
-  per-pass pixel-offset variants (+85k mod 256 — distinct content, identical
-  shapes/geometry), so no timed dispatch repeats a pair of buffers the relay
-  has dispatched before;
-- the headline is the median of the N per-pass wall times.
+- the device relay memoizes repeated (executable, input) dispatches, so no
+  timed pass reuses content the relay has seen: warm-up runs on pixel-offset
+  variants (+191/+193 mod 256 — uint8 addition wraps, preserving shapes and
+  motion geometry while making every frame's bytes unique), pass 1 times the
+  REAL video, passes 2..3 time +85/+170 variants; headline = median.
+- `jax.block_until_ready` does NOT wait for relay execution; only fetching
+  values does.  Each timed pass dispatches every batch, then drains the
+  per-pair PSNR + escape-diagnostic scalars — so the wall includes real
+  execution plus the (small) result fetches.
+- the timed program returns ONLY those scalars: shipping the image streams
+  to the host runs at the dev tunnel's ~MB/s and would measure the tunnel,
+  not the chip (the results driver overlaps that I/O with compute; on a
+  production host D2H is PCIe).  The images are still COMPUTED on device —
+  XLA cannot dead-code them away because psnr depends on the compensated
+  frame (and the driver path writes them, tested for parity separately).
+- warm-up runs TWICE: the relay's first execution of a fresh executable
+  pays a large one-time server-side cost.
 
 Baselines (BASELINE.md, measured locally on this machine):
     pan240  (320x240):  2.575  pairs/s
@@ -47,10 +55,12 @@ SIZES = {"240p": (240, 320), "480p": (480, 640), "720p": (720, 1280)}
 PAN240 = "/root/reference/global_motion_estimation/resources/videos/pan240.mp4"
 
 METHOD = (
-    "cold-data passes: warm-up compiles on a +191 pixel-offset synthetic "
-    "variant; each timed pass runs the whole video on content the relay has "
-    "never dispatched (pass 1 = real video, pass k = +85(k-1) mod 256 "
-    "variant); headline = median per-pass wall time"
+    "cold-data whole-video passes; 2x warm-up on +191/+193 pixel-offset "
+    "variants (relay memoizes repeated dispatches and first-executes "
+    "slowly); timed passes over never-dispatched content (pass1 = real "
+    "video, then +85/+170 variants), wall = dispatch all batches + drain "
+    "per-pair psnr/diagnostic scalars (block_until_ready does not force "
+    "relay execution; value fetches do); headline = median pass"
 )
 
 
@@ -82,7 +92,7 @@ def _upscale(frames: np.ndarray, hw) -> np.ndarray:
         return np.repeat(np.repeat(frames, ry, axis=1), rx, axis=2)
 
 
-def _run_resolution(frames: np.ndarray, batch: int, repeats: int = 3):
+def _run_resolution(frames: np.ndarray, batch: int):
     import jax
     import jax.numpy as jnp
 
@@ -91,38 +101,39 @@ def _run_resolution(frames: np.ndarray, batch: int, repeats: int = 3):
 
     cfg = GMEConfig()
     n_pairs = frames.shape[0] - 1
+    device_frames = jax.block_until_ready(jnp.asarray(frames))
 
-    def run_all(device_frames):
+    @jax.jit
+    def step(prev, curr):
+        out = gme_pipeline_batch(prev, curr, cfg)
+        return {"psnr": out["psnr"], "volume_edge_hits": out["volume_edge_hits"]}
+
+    def one_pass(offset):
+        src = device_frames + jnp.uint8(offset)
+        t0 = time.perf_counter()
         outs = []
         for lo in range(0, n_pairs, batch):
             idx = np.arange(lo, min(lo + batch, n_pairs))
             if len(idx) < batch:  # pad to keep one compiled shape
                 idx = np.concatenate([idx, np.full(batch - len(idx), n_pairs - 1)])
-            prev = device_frames[idx]
-            curr = device_frames[idx + 1]
-            outs.append(gme_pipeline_batch(prev, curr, cfg))
-        jax.block_until_ready(outs)
-        return outs
+            outs.append((len(idx), step(src[idx], src[idx + 1])))
+        psnr = np.concatenate([np.asarray(o["psnr"]) for _, o in outs])[:n_pairs]
+        hits = np.concatenate(
+            [np.asarray(o["volume_edge_hits"]) for _, o in outs]
+        )[:n_pairs]
+        return time.perf_counter() - t0, psnr, hits
 
-    # Distinct-content videos: uint8 addition wraps, preserving shapes and
-    # motion geometry while making every frame's bytes unique per variant.
-    def variant(k):
-        v = jnp.asarray(frames) + jnp.uint8(k)
-        return jax.block_until_ready(v)
-
-    run_all(variant(191))  # warm-up/compile on data that is never timed
+    one_pass(191)  # warm-up 1: server-side first execution of the program
+    one_pass(193)  # warm-up 2: steady state
     walls = []
-    outs = None
-    for rep in range(repeats):
-        dev = variant(85 * rep)  # rep 0 == the real video
-        t0 = time.perf_counter()
-        o = run_all(dev)
-        walls.append(time.perf_counter() - t0)
+    psnr = hits = None
+    for rep, off in enumerate((0, 85, 170)):  # rep 0 == the real video
+        w, p, h = one_pass(off)
+        walls.append(w)
         if rep == 0:
-            outs = o  # PSNR reported from the real-video pass
+            psnr, hits = p, h
     dt = float(np.median(walls))
-    psnrs = np.concatenate([np.asarray(o["psnr"]) for o in outs])[:n_pairs]
-    return n_pairs / dt, dt, walls, psnrs, n_pairs
+    return n_pairs / dt, dt, walls, psnr, hits, n_pairs
 
 
 def main():
@@ -136,8 +147,8 @@ def main():
     results = {}
     for name in ("240p", "480p", "720p"):
         frames = pan240 if name == "240p" else _upscale(pan240, SIZES[name])
-        batch = {"240p": 32, "480p": 16, "720p": 8}[name]
-        fps, dt, walls, psnrs, n_pairs = _run_resolution(frames, batch)
+        batch = {"240p": 64, "480p": 32, "720p": 16}[name]
+        fps, dt, walls, psnrs, hits, n_pairs = _run_resolution(frames, batch)
         results[name] = fps
         detail[name] = {
             "pairs_per_s": round(fps, 3),
@@ -145,9 +156,11 @@ def main():
             "wall_s": round(dt, 3),
             "walls_s": [round(w, 3) for w in walls],
             "n_pairs": int(n_pairs),
+            "batch": batch,
             "psnr_avg": round(float(psnrs.mean()), 3),
             "psnr_min": round(float(psnrs.min()), 3),
             "psnr_max": round(float(psnrs.max()), 3),
+            "radius_ring_visited_pairs": int((hits > 0).sum()),
         }
         print(json.dumps({name: detail[name]}), file=sys.stderr)
 

@@ -1017,6 +1017,21 @@ def diamond_walk_volume(
     ldsp_a = jnp.asarray(_LDSP[:, 0])
     ldsp_b = jnp.asarray(_LDSP[:, 1])
 
+    # The chase reads ONE map entry per cell per iteration.  XLA lowers
+    # take_along_axis element-wise on TPU (~70M elem/s — measured 1.6 ms
+    # per iteration on the 14,400-cell dense grid); a masked one-hot sum
+    # is a fused compare+select+reduce sweep over the map instead (pure
+    # VPU, ~8x faster there).  Exact: exactly one lane matches o.
+    o_iota = jax.lax.broadcasted_iota(
+        jnp.int32, lead + (D * D,), len(lead)
+    )
+
+    def _rank_at(o):
+        hit = o[..., None] == o_iota
+        return jnp.sum(
+            jnp.where(hit, rank_map, jnp.int8(0)).astype(jnp.int32), axis=-1
+        )
+
     def body(state):
         o, _, it, touched = state
         # Soundness tracking: the successor consulted at `o` could differ
@@ -1024,8 +1039,7 @@ def diamond_walk_volume(
         # ring (see docstring) — OR over every visited offset.
         omax = jnp.maximum(jnp.abs(o // D - R), jnp.abs(o % D - R))
         touched = touched | (omax >= R - 1)
-        k = jnp.take_along_axis(rank_map, o[..., None], axis=-1)[..., 0]
-        k = k.astype(jnp.int32)
+        k = _rank_at(o)
         a = jnp.take(ldsp_a, k)
         b = jnp.take(ldsp_b, k)
         er = jnp.clip(o // D - R + a, lo_r, hi_r)
