@@ -65,6 +65,7 @@ def _cmd_results(args) -> None:
         batch_size=args.batch_size,
         resume=args.resume,
         write_images=not args.no_images,
+        adaptive=args.adaptive,
     )
     if args.num_processes > 1:
         from gme_tpu.parallel.multihost import process_video_multihost
@@ -204,6 +205,11 @@ def main(argv=None) -> None:
     p.add_argument("--search-impl", choices=("auto", "gather", "volume"),
                    default="auto")
     p.add_argument("--volume-radius", type=int, default=32)
+    p.add_argument("--adaptive", action="store_true",
+                   help="escape-guarded adaptive volume radius: try tight "
+                        "radii first, recompute escaped pairs at full "
+                        "radius (bit-identical results; wins when motion "
+                        "stays small)")
     p.add_argument("--mesh", default="data=1,space=1",
                    help='device mesh, e.g. "data=2,space=4": pairs shard '
                         'over data, frame rows over space (halo exchange)')

@@ -163,6 +163,13 @@ class PipelineConfig:
     # destroying resumability; we keep outputs idempotent and skippable).
     resume: bool = False
     write_images: bool = True
+    # Escape-guarded adaptive volume radius (models.gme
+    # .gme_pipeline_batch_adaptive): bit-identical to the full-radius run
+    # by construction, and a large win when motion stays inside the tight
+    # radii.  Opt-in: on fast global motion (e.g. pan240 — measured: every
+    # pair trips the certificate) the full-radius fallback makes it pure
+    # overhead.  Single-device (mesh 1x1) path only.
+    adaptive: bool = False
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -90,6 +90,16 @@ def _build_step(cfg: PipelineConfig, H: int, W: int):
     )
     m = cfg.mesh
     if m.data * m.space == 1:
+        if cfg.adaptive:
+            from gme_tpu.models.gme import gme_pipeline_batch_adaptive
+
+            # Host-level two-tier dispatch (jits internally; syncs on the
+            # fast tier's escape certificate) — do not re-jit.
+            return lambda p, c: {
+                k: v
+                for k, v in gme_pipeline_batch_adaptive(p, c, cfg.gme).items()
+                if k in keys
+            }
         base = lambda p, c: gme_pipeline_batch(p, c, cfg.gme)  # noqa: E731
     else:
         if cfg.batch_size % m.data:

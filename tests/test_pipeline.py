@@ -182,3 +182,24 @@ def test_streaming_decode_stages(tmp_path, rng):
     s = process_video(clip, str(tmp_path / "r_stream"), PipelineConfig(batch_size=2))
     assert "decode" in s["stages"] and "decode_wait" in s["stages"]
     assert s["pairs_processed"] == 5
+
+
+def test_process_video_adaptive_matches_default(tmp_path, rng):
+    """The opt-in adaptive driver path (PipelineConfig.adaptive) produces
+    identical psnr records to the default path — the escape-guarded
+    two-tier dispatch is bit-transparent (volume engine forced so the
+    radii actually matter on the CPU test backend)."""
+    clip = _make_clip(tmp_path, rng)
+    gme = GMEConfig(search_impl="volume")
+    a = process_video(
+        clip, str(tmp_path / "r_def"),
+        PipelineConfig(batch_size=2, gme=gme),
+    )
+    b = process_video(
+        clip, str(tmp_path / "r_adp"),
+        PipelineConfig(batch_size=2, gme=gme, adaptive=True),
+    )
+    assert a["pairs_processed"] == b["pairs_processed"]
+    ra = json.load(open(os.path.join(tmp_path, "r_def", "pan_synth", "psnr_records.json")))
+    rb = json.load(open(os.path.join(tmp_path, "r_adp", "pan_synth", "psnr_records.json")))
+    assert ra == rb
