@@ -147,7 +147,7 @@ def main():
     results = {}
     for name in ("240p", "480p", "720p"):
         frames = pan240 if name == "240p" else _upscale(pan240, SIZES[name])
-        batch = {"240p": 64, "480p": 32, "720p": 16}[name]
+        batch = {"240p": 206, "480p": 103, "720p": 24}[name]
         fps, dt, walls, psnrs, hits, n_pairs = _run_resolution(frames, batch)
         results[name] = fps
         detail[name] = {
