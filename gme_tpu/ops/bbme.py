@@ -1156,9 +1156,12 @@ def get_motion_field(
     reference dispatch table (bbme.py:609-614).
 
     With ``return_diagnostics=True`` also returns a dict of runtime parity
-    diagnostics: ``volume_edge_hits`` counts diamond walks stopped on the
-    volume-radius boundary (0 for searches whose displacement is statically
-    bounded and for the unbounded gather engine).
+    diagnostics: ``volume_edge_hits`` counts volume-engine walks whose
+    trajectory a larger radius could have changed — diamond walks that
+    entered the boundary-adjacent ring (diamond_walk_volume) and 2D-log
+    walks whose displacement plus step reached the radius (twodlog_search).
+    Zero for searches whose displacement is statically bounded
+    (exhaustive / three-step) and for the unbounded gather engine.
     """
     if searching_procedure == EXHAUSTIVE:
         field = exhaustive_search(
