@@ -106,7 +106,11 @@ def _run_resolution(frames: np.ndarray, batch: int):
     @jax.jit
     def step(prev, curr):
         out = gme_pipeline_batch(prev, curr, cfg)
-        return {"psnr": out["psnr"], "volume_edge_hits": out["volume_edge_hits"]}
+        # One (2, B) f32 drain per batch: psnr + the escape diagnostic
+        # (exact — counts are small integers), halving fetch round trips.
+        return jnp.stack(
+            [out["psnr"], out["volume_edge_hits"].astype(jnp.float32)]
+        )
 
     def one_pass(offset):
         src = device_frames + jnp.uint8(offset)
@@ -116,11 +120,10 @@ def _run_resolution(frames: np.ndarray, batch: int):
             idx = np.arange(lo, min(lo + batch, n_pairs))
             if len(idx) < batch:  # pad to keep one compiled shape
                 idx = np.concatenate([idx, np.full(batch - len(idx), n_pairs - 1)])
-            outs.append((len(idx), step(src[idx], src[idx + 1])))
-        psnr = np.concatenate([np.asarray(o["psnr"]) for _, o in outs])[:n_pairs]
-        hits = np.concatenate(
-            [np.asarray(o["volume_edge_hits"]) for _, o in outs]
-        )[:n_pairs]
+            outs.append(step(src[idx], src[idx + 1]))
+        drained = np.concatenate([np.asarray(o) for o in outs], axis=1)
+        psnr = drained[0, :n_pairs]
+        hits = drained[1, :n_pairs].astype(np.int64)
         return time.perf_counter() - t0, psnr, hits
 
     one_pass(191)  # warm-up 1: server-side first execution of the program
