@@ -49,7 +49,11 @@ import numpy as np
 from jax import lax
 
 from gme_tpu.config import BBMEConfig, DIAMOND, EXHAUSTIVE, MAE, MSE, THREESTEP, TWODLOG
-from gme_tpu.ops.pallas_kernels import dfd_cost_volume, use_pallas
+from gme_tpu.ops.pallas_kernels import (
+    chase_fixpoint,
+    dfd_cost_volume,
+    use_pallas,
+)
 
 # Module-level constants stay NumPy/Python so importing the package never
 # initialises a JAX backend (lets callers pin the platform first).
@@ -1014,47 +1018,68 @@ def diamond_walk_volume(
     hi_r = (H - bs - 1) - origins[..., 0]
     lo_c = -origins[..., 1]
     hi_c = (W - bs - 1) - origins[..., 1]
-    ldsp_a = jnp.asarray(_LDSP[:, 0])
-    ldsp_b = jnp.asarray(_LDSP[:, 1])
 
-    # The chase reads ONE map entry per cell per iteration.  XLA lowers
-    # take_along_axis element-wise on TPU (~70M elem/s — measured 1.6 ms
-    # per iteration on the 14,400-cell dense grid); a masked one-hot sum
-    # is a fused compare+select+reduce sweep over the map instead (pure
-    # VPU, ~8x faster there).  Exact: exactly one lane matches o.
-    o_iota = jax.lax.broadcasted_iota(
-        jnp.int32, lead + (D * D,), len(lead)
-    )
+    if use_pallas():
+        # Pallas chase: the map chunk stays VMEM-resident across ALL
+        # iterations and each cell chunk exits at ITS convergence (the XLA
+        # loop below re-reads the map from HBM per iteration and runs the
+        # max iteration count over every cell).  Bit-identical
+        # (tests/test_pallas.py).
+        C = int(np.prod(lead))
+        bounds = jnp.stack(
+            [x.reshape(C) for x in (lo_r, hi_r, lo_c, hi_c)]
+            + [jnp.zeros(C, jnp.int32)] * 4,
+            axis=1,
+        )
+        o_flat, touched_flat = chase_fixpoint(
+            rank_map.reshape(C, D * D), bounds, D, R, max_iters
+        )
+        o = o_flat.reshape(lead)
+        touched = touched_flat.reshape(lead)
+    else:
+        ldsp_a = jnp.asarray(_LDSP[:, 0])
+        ldsp_b = jnp.asarray(_LDSP[:, 1])
 
-    def _rank_at(o):
-        hit = o[..., None] == o_iota
-        return jnp.sum(
-            jnp.where(hit, rank_map, jnp.int8(0)).astype(jnp.int32), axis=-1
+        # The chase reads ONE map entry per cell per iteration.  XLA lowers
+        # take_along_axis element-wise on TPU (~70M elem/s — measured 1.6 ms
+        # per iteration on the 14,400-cell dense grid); a masked one-hot sum
+        # is a fused compare+select+reduce sweep over the map instead (pure
+        # VPU, ~8x faster there).  Exact: exactly one lane matches o.
+        o_iota = jax.lax.broadcasted_iota(
+            jnp.int32, lead + (D * D,), len(lead)
         )
 
-    def body(state):
-        o, _, it, touched = state
-        # Soundness tracking: the successor consulted at `o` could differ
-        # from a larger-radius map only when o sits in the boundary-adjacent
-        # ring (see docstring) — OR over every visited offset.
-        omax = jnp.maximum(jnp.abs(o // D - R), jnp.abs(o % D - R))
-        touched = touched | (omax >= R - 1)
-        k = _rank_at(o)
-        a = jnp.take(ldsp_a, k)
-        b = jnp.take(ldsp_b, k)
-        er = jnp.clip(o // D - R + a, lo_r, hi_r)
-        ec = jnp.clip(o % D - R + b, lo_c, hi_c)
-        nxt = (er + R) * D + (ec + R)
-        return (nxt, jnp.any(nxt != o), it + 1, touched)
+        def _rank_at(o):
+            hit = o[..., None] == o_iota
+            return jnp.sum(
+                jnp.where(hit, rank_map, jnp.int8(0)).astype(jnp.int32),
+                axis=-1,
+            )
 
-    def cond(state):
-        _, changed, it, _ = state
-        return changed & (it < max_iters)
+        def body(state):
+            o, _, it, touched = state
+            # Soundness tracking: the successor consulted at `o` could
+            # differ from a larger-radius map only when o sits in the
+            # boundary-adjacent ring (see docstring) — OR over every
+            # visited offset.
+            omax = jnp.maximum(jnp.abs(o // D - R), jnp.abs(o % D - R))
+            touched = touched | (omax >= R - 1)
+            k = _rank_at(o)
+            a = jnp.take(ldsp_a, k)
+            b = jnp.take(ldsp_b, k)
+            er = jnp.clip(o // D - R + a, lo_r, hi_r)
+            ec = jnp.clip(o % D - R + b, lo_c, hi_c)
+            nxt = (er + R) * D + (ec + R)
+            return (nxt, jnp.any(nxt != o), it + 1, touched)
 
-    o, _, _, touched = lax.while_loop(
-        cond, body,
-        (o0, jnp.bool_(True), jnp.int32(0), jnp.zeros(lead, dtype=bool)),
-    )
+        def cond(state):
+            _, changed, it, _ = state
+            return changed & (it < max_iters)
+
+        o, _, _, touched = lax.while_loop(
+            cond, body,
+            (o0, jnp.bool_(True), jnp.int32(0), jnp.zeros(lead, dtype=bool)),
+        )
 
     match = jnp.stack(
         [origins[..., 0] + o // D - R, origins[..., 1] + o % D - R], axis=-1

@@ -861,6 +861,139 @@ def warp_block_field(
     return out.reshape(nbh * bs, nbw * bs).astype(frame.dtype)
 
 
+# LDSP candidate offsets in reference scan order (bbme._LDSP; duplicated
+# here because bbme imports this module).
+_CHASE_LDSP = (
+    (0, 0), (2, 0), (1, 1), (0, 2), (-1, 1),
+    (-2, 0), (-1, -1), (0, -2), (1, -1),
+)
+
+
+def _chase_kernel(map_ref, bnd_ref, out_ref, *, D, R, max_iters, ldsp):
+    """Fixpoint pointer chase for one chunk of cells, map VMEM-resident.
+
+    The XLA lockstep chase re-reads the (cells, D^2) successor map from HBM
+    with widened mask/select intermediates on EVERY while iteration
+    (measured ~45x below VPU throughput).  Here the chunk's map loads into
+    VMEM once, every sweep runs at VPU speed, and each chunk exits as soon
+    as ITS cells converge (interior chunks stop in a few iterations while
+    frame-edge chunks slide longer — the lockstep XLA loop pays the max
+    over all cells).
+
+    Per-cell state is a (Tc, 1) column; the rank lookup is the same masked
+    one-hot sweep as the XLA path (exactly one lane matches), and the move
+    decode is a 9-way select against the LDSP table.  Bit-identical to the
+    XLA chase (asserted in tests/test_pallas.py).
+    """
+    # Cells live on LANES: the map arrives transposed (DD, Tc) so every
+    # per-cell state is a (1, Tc) row vector — the layout Mosaic handles
+    # robustly in loop carries ((Tc, 1) column carries tripped "invalid
+    # relayout: replicated destination" on the while back-edge).
+    Tc = map_ref.shape[1]
+    mapv = map_ref[...].astype(jnp.float32)  # (DD, Tc), VMEM-resident
+    iota = jax.lax.broadcasted_iota(jnp.int32, mapv.shape, 0)
+    lo_r = bnd_ref[0:1, :]
+    hi_r = bnd_ref[1:2, :]
+    lo_c = bnd_ref[2:3, :]
+    hi_c = bnd_ref[3:4, :]
+    o0 = jnp.full((1, Tc), R * D + R, jnp.int32)
+
+    def rank_at(o):
+        hit = iota == o  # (1, Tc) broadcasts over the DD sublanes
+        # Exactly one sublane matches; f32 sum of values <= 8 is exact.
+        return jnp.sum(
+            jnp.where(hit, mapv, 0.0), axis=0, keepdims=True
+        ).astype(jnp.int32)
+
+    def sel9(k, table):
+        out = jnp.zeros_like(k)
+        for i, v in enumerate(table):
+            out = jnp.where(k == i, jnp.int32(v), out)
+        return out
+
+    # Ring-visit accumulation goes through the OUTPUT REF, not a loop
+    # carry: an extra (1, Tc) int32 while-carry tripped Mosaic's layout
+    # inference ("invalid relayout: replicated destination") regardless of
+    # how it was initialised; ref mutation inside the body sidesteps the
+    # carry-layout unification entirely.
+    out_ref[...] = jnp.zeros((8, Tc), jnp.int32)
+
+    def body(state):
+        o, _, it = state
+        omax = jnp.maximum(jnp.abs(o // D - R), jnp.abs(o % D - R))
+        out_ref[1:2, :] = jnp.maximum(
+            out_ref[1:2, :], (omax >= R - 1).astype(jnp.int32)
+        )
+        k = rank_at(o)
+        a = sel9(k, [p[0] for p in ldsp])
+        b = sel9(k, [p[1] for p in ldsp])
+        er = jnp.clip(o // D - R + a, lo_r, hi_r)
+        ec = jnp.clip(o % D - R + b, lo_c, hi_c)
+        nxt = (er + R) * D + (ec + R)
+        return (nxt, jnp.any(nxt != o), it + 1)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    o, _, _ = jax.lax.while_loop(
+        cond, body, (o0, jnp.bool_(True), jnp.int32(0))
+    )
+    out_ref[0:1, :] = o
+
+
+@functools.partial(
+    jax.jit, static_argnames=("D", "R", "max_iters", "interpret")
+)
+def chase_fixpoint(
+    rank_map: jnp.ndarray,
+    bounds: jnp.ndarray,
+    D: int,
+    R: int,
+    max_iters: int,
+    interpret: bool = False,
+):
+    """Chase every cell's diamond walk to its fixpoint on the successor
+    rank map (see bbme.diamond_walk_volume for the walk contract).
+
+    Args:
+        rank_map: (C, D*D) int8 LDSP rank map.
+        bounds: (C, 8) int32; cols 0..3 = per-cell frame-clamp bounds in
+            offset space (lo_r, hi_r, lo_c, hi_c), rest padding.
+
+    Returns:
+        (C,) int32 final offset indices, (C,) bool ring-visited flags.
+    """
+    C, DD = rank_map.shape
+    # Cells chunk on lanes (see _chase_kernel): lane-tile-aligned chunks,
+    # map chunk (DD, Tc) int8 under a ~4MB VMEM budget; padded cells get a
+    # zero map column (rank 0 everywhere => instant center fixpoint).
+    cap = max(128, ((4 << 20) // max(DD, 1)) // 128 * 128)
+    Tc = min(cap, 512)
+    Cp = -(-C // Tc) * Tc
+    mapT = jnp.pad(rank_map, ((0, Cp - C), (0, 0))).T  # (DD, Cp)
+    bndT = jnp.pad(bounds, ((0, Cp - C), (0, 0))).T  # (8, Cp)
+    out = pl.pallas_call(
+        functools.partial(
+            _chase_kernel, D=D, R=R, max_iters=max_iters, ldsp=_CHASE_LDSP
+        ),
+        grid=(Cp // Tc,),
+        in_specs=[
+            pl.BlockSpec((DD, Tc), lambda c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Tc), lambda c: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, Tc), lambda c: (0, c), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, Cp), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PLANES_VMEM_LIMIT
+        ),
+    )(mapT, bndT)
+    return out[0, :C], out[1, :C].astype(bool)
+
+
 def use_pallas() -> bool:
     """Pallas path only on real TPU backends (CPU tests use interpret mode
     explicitly where they want to exercise the kernel)."""

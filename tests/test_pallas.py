@@ -152,3 +152,60 @@ def test_succ_map_packed_ties_and_inf(rng):
         want = np.asarray(bbme._succ_map_select(vol, origins, H, W, bs, R))
         got = np.asarray(bbme._succ_map_packed(vol, origins, H, W, bs, R))
         np.testing.assert_array_equal(got, want)
+
+
+def test_chase_kernel_matches_sequential_oracle(rng):
+    """The Pallas fixpoint chase (interpret mode) == a per-cell sequential
+    numpy walk over the same rank map: same fixpoints, same ring-visited
+    flags — on plain motion AND on a shift big enough to escape the
+    radius (walks clamped at the volume edge)."""
+    import jax.numpy as jnp
+
+    from gme_tpu.ops import bbme as B
+    from gme_tpu.ops.pallas_kernels import chase_fixpoint
+
+    H, W, bs = 48, 64, 8
+    for shift in (2, 9):  # 9 > R: forces ring visits and volume clamping
+        R = 5
+        D = 2 * R + 1
+        base = rng.randint(0, 256, (H + shift, W + shift), np.uint8)
+        prev = jnp.asarray(base[:H, :W])
+        curr = jnp.asarray(base[shift:, shift:])
+        nbh, nbw = H // bs, W // bs
+        origins = B._block_origins(nbh, nbw, bs)
+        vol = B.compute_cost_volume(prev, curr, bs, R, 1)
+        rank = np.asarray(
+            B._succ_map(vol, origins, H, W, bs, R)
+        ).reshape(nbh * nbw, D * D)
+        og = np.asarray(origins).reshape(-1, 2)
+        lo_r, hi_r = -og[:, 0], (H - bs - 1) - og[:, 0]
+        lo_c, hi_c = -og[:, 1], (W - bs - 1) - og[:, 1]
+
+        # Sequential oracle: follow the rank map per cell.
+        exp_o = np.zeros(len(og), np.int32)
+        exp_t = np.zeros(len(og), bool)
+        for cell in range(len(og)):
+            o = R * D + R
+            for _ in range(4096):
+                r, c = o // D - R, o % D - R
+                exp_t[cell] |= max(abs(r), abs(c)) >= R - 1
+                a, b = B._LDSP[rank[cell, o]]
+                er = np.clip(r + a, lo_r[cell], hi_r[cell])
+                ec = np.clip(c + b, lo_c[cell], hi_c[cell])
+                nxt = (er + R) * D + (ec + R)
+                if nxt == o:
+                    break
+                o = nxt
+            exp_o[cell] = o
+
+        bounds = jnp.asarray(
+            np.stack(
+                [lo_r, hi_r, lo_c, hi_c] + [np.zeros(len(og), np.int64)] * 4,
+                axis=1,
+            ).astype(np.int32)
+        )
+        got_o, got_t = chase_fixpoint(
+            jnp.asarray(rank), bounds, D, R, 4096, interpret=True
+        )
+        assert np.array_equal(np.asarray(got_o), exp_o), f"shift={shift}"
+        assert np.array_equal(np.asarray(got_t), exp_t), f"shift={shift}"
